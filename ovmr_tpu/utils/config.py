@@ -1,0 +1,143 @@
+"""Layered configuration system.
+
+A small yacs-compatible ``CfgNode``: nested attribute access, yaml merging,
+``KEY VALUE`` list overrides and freezing. The key tree (see
+:mod:`ovmr_tpu.utils.defaults`) keeps the reference's names
+(``Dassl.pytorch/dassl/config/defaults.py`` + ``train.py:100-132`` extensions)
+so the reference's yaml configs work unchanged.
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+from typing import Any, Dict, List
+
+import yaml
+
+
+class CfgNode(dict):
+    """Nested dict with attribute access, freezing and yaml merge."""
+
+    _FROZEN = "__frozen__"
+
+    def __init__(self, init: Dict[str, Any] | None = None):
+        super().__init__()
+        object.__setattr__(self, CfgNode._FROZEN, False)
+        if init:
+            for k, v in init.items():
+                self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    # -- attribute protocol ------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if self.is_frozen():
+            raise AttributeError(f"Cannot set '{name}': CfgNode is frozen")
+        self[name] = CfgNode(value) if isinstance(value, dict) and not isinstance(value, CfgNode) else value
+
+    def __setitem__(self, name: str, value: Any) -> None:
+        if self.is_frozen():
+            raise AttributeError(f"Cannot set '{name}': CfgNode is frozen")
+        super().__setitem__(name, value)
+
+    # -- freeze ------------------------------------------------------------
+    def freeze(self) -> None:
+        object.__setattr__(self, CfgNode._FROZEN, True)
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.freeze()
+
+    def defrost(self) -> None:
+        object.__setattr__(self, CfgNode._FROZEN, False)
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.defrost()
+
+    def is_frozen(self) -> bool:
+        return object.__getattribute__(self, CfgNode._FROZEN)
+
+    def clone(self) -> "CfgNode":
+        out = CfgNode()
+        for k, v in self.items():
+            out[k] = v.clone() if isinstance(v, CfgNode) else copy.deepcopy(v)
+        return out
+
+    # -- merging -----------------------------------------------------------
+    def merge_from_other(self, other: "CfgNode" | dict, allow_new: bool = True) -> None:
+        for k, v in other.items():
+            if isinstance(v, dict):
+                if k not in self or not isinstance(self[k], CfgNode):
+                    if not allow_new and k not in self:
+                        raise KeyError(f"Unknown config key: {k}")
+                    self[k] = CfgNode()
+                self[k].merge_from_other(v, allow_new=allow_new)
+            else:
+                if not allow_new and k not in self:
+                    raise KeyError(f"Unknown config key: {k}")
+                self[k] = _coerce(self.get(k), v)
+
+    def merge_from_file(self, path: str, allow_new: bool = True) -> None:
+        with open(path, "r") as f:
+            loaded = yaml.safe_load(f) or {}
+        self.merge_from_other(loaded, allow_new=allow_new)
+
+    def merge_from_list(self, opts: List[Any]) -> None:
+        """Merge ``[KEY1, VAL1, KEY2, VAL2, ...]`` dotted-key overrides."""
+        if len(opts) % 2 != 0:
+            raise ValueError(f"Override list must have even length, got {opts}")
+        for key, raw in zip(opts[0::2], opts[1::2]):
+            node = self
+            parts = str(key).split(".")
+            for p in parts[:-1]:
+                if p not in node:
+                    node[p] = CfgNode()
+                node = node[p]
+            node[parts[-1]] = _coerce(node.get(parts[-1]), _parse_literal(raw))
+
+    # -- io ----------------------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            k: (v.to_dict() if isinstance(v, CfgNode) else v) for k, v in self.items()
+        }
+
+    def dump(self) -> str:
+        return yaml.safe_dump(self.to_dict(), sort_keys=True)
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"CfgNode({self.to_dict()})"
+
+
+def _parse_literal(value: Any) -> Any:
+    if not isinstance(value, str):
+        return value
+    try:
+        return ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        return value
+
+
+def _coerce(old: Any, new: Any) -> Any:
+    """Coerce `new` to the type of `old` when that conversion is loss-free."""
+    if old is None or new is None:
+        return new
+    if isinstance(old, bool):
+        if isinstance(new, bool):
+            return new
+        if isinstance(new, str):
+            if new.lower() in ("true", "1", "yes"):
+                return True
+            if new.lower() in ("false", "0", "no"):
+                return False
+        return bool(new)
+    if isinstance(old, float) and isinstance(new, int):
+        return float(new)
+    if isinstance(old, tuple) and isinstance(new, list):
+        return tuple(new)
+    if isinstance(old, list) and isinstance(new, tuple):
+        return list(new)
+    return new

@@ -1,0 +1,189 @@
+"""Default configuration tree.
+
+Key names match the reference so its yaml files merge unchanged
+(``Dassl.pytorch/dassl/config/defaults.py:1-313`` + the OVMR extensions from
+``train.py:100-132``). Keys only consumed by vendored Dassl subsystems the
+reference never exercises (DA/DG/SSL trainer hyper-params) are omitted; a
+``TPU`` section is added for mesh/precision policy, which has no reference
+counterpart.
+"""
+
+from __future__ import annotations
+
+from .config import CfgNode
+
+
+def get_cfg_default() -> CfgNode:
+    c = CfgNode()
+
+    c.VERSION = 1
+    c.OUTPUT_DIR = "./output"
+    c.RESUME = ""
+    c.SEED = -1
+    c.USE_CUDA = True  # accepted for config compatibility; ignored on TPU
+    c.VERBOSE = True
+    c.TEXT_ONLY = False
+    c.GPU_NUMS = -1
+    c.TASK_ID = 0
+
+    # ---- input -----------------------------------------------------------
+    c.INPUT = CfgNode()
+    c.INPUT.SIZE = (224, 224)
+    c.INPUT.INTERPOLATION = "bilinear"
+    c.INPUT.TRANSFORMS = ()
+    c.INPUT.NO_TRANSFORM = False
+    c.INPUT.PIXEL_MEAN = [0.485, 0.456, 0.406]
+    c.INPUT.PIXEL_STD = [0.229, 0.224, 0.225]
+    c.INPUT.CROP_PADDING = 4
+    c.INPUT.RRCROP_SCALE = (0.08, 1.0)
+    c.INPUT.CUTOUT_N = 1
+    c.INPUT.CUTOUT_LEN = 16
+    c.INPUT.GN_MEAN = 0.0
+    c.INPUT.GN_STD = 0.15
+    c.INPUT.RANDAUGMENT_N = 2
+    c.INPUT.RANDAUGMENT_M = 10
+    c.INPUT.COLORJITTER_B = 0.4
+    c.INPUT.COLORJITTER_C = 0.4
+    c.INPUT.COLORJITTER_S = 0.4
+    c.INPUT.COLORJITTER_H = 0.1
+    c.INPUT.RGS_P = 0.2
+    c.INPUT.GB_P = 0.5
+    c.INPUT.GB_K = 21
+
+    # ---- dataset -----------------------------------------------------------
+    c.DATASET = CfgNode()
+    c.DATASET.ROOT = ""
+    c.DATASET.REGION_AUG = False
+    c.DATASET.REGION_SCALE = [224]
+    c.DATASET.TEST_REGION_SCALE = [224]
+    c.DATASET.NAME = ""
+    c.DATASET.SOURCE_DOMAINS = ()
+    c.DATASET.TARGET_DOMAINS = ()
+    c.DATASET.NUM_LABELED = -1
+    c.DATASET.NUM_SHOTS = -1
+    c.DATASET.VAL_PERCENT = 0.1
+    c.DATASET.STL10_FOLD = -1
+    c.DATASET.CIFAR_C_TYPE = ""
+    c.DATASET.CIFAR_C_LEVEL = 1
+    c.DATASET.ALL_AS_UNLABELED = False
+    c.DATASET.SUBSAMPLE_CLASSES = "all"  # all, base or new
+
+    # ---- dataloader --------------------------------------------------------
+    c.DATALOADER = CfgNode()
+    c.DATALOADER.NUM_WORKERS = 4
+    c.DATALOADER.K_TRANSFORMS = 1
+    c.DATALOADER.RETURN_IMG0 = False
+    c.DATALOADER.COLLATE_FN = "none"
+    c.DATALOADER.TRAIN_X = CfgNode()
+    c.DATALOADER.TRAIN_X.SAMPLER = "RandomSampler"
+    c.DATALOADER.TRAIN_X.BATCH_SIZE = 32
+    c.DATALOADER.TRAIN_X.N_DOMAIN = 0
+    c.DATALOADER.TRAIN_X.N_INS = 16
+    c.DATALOADER.TRAIN_U = CfgNode()
+    c.DATALOADER.TRAIN_U.SAME_AS_X = True
+    c.DATALOADER.TRAIN_U.SAMPLER = "RandomSampler"
+    c.DATALOADER.TRAIN_U.BATCH_SIZE = 32
+    c.DATALOADER.TRAIN_U.N_DOMAIN = 0
+    c.DATALOADER.TRAIN_U.N_INS = 16
+    c.DATALOADER.TEST = CfgNode()
+    c.DATALOADER.TEST.SAMPLER = "SequentialSampler"
+    c.DATALOADER.TEST.BATCH_SIZE = 32
+    c.DATALOADER.TEST.N_INS = 16
+
+    # ---- model ---------------------------------------------------------------
+    c.MODEL = CfgNode()
+    c.MODEL.INIT_WEIGHTS = ""
+    c.MODEL.BACKBONE = CfgNode()
+    c.MODEL.BACKBONE.NAME = ""
+    c.MODEL.BACKBONE.PRETRAINED = True
+    c.MODEL.HEAD = CfgNode()
+    c.MODEL.HEAD.NAME = ""
+    c.MODEL.HEAD.HIDDEN_LAYERS = ()
+    c.MODEL.HEAD.ACTIVATION = "relu"
+    c.MODEL.HEAD.BN = True
+    c.MODEL.HEAD.DROPOUT = 0.0
+
+    # ---- optimization ----------------------------------------------------
+    c.OPTIM = CfgNode()
+    c.OPTIM.NAME = "adam"
+    c.OPTIM.LR = 0.0003
+    c.OPTIM.WEIGHT_DECAY = 5e-4
+    c.OPTIM.MOMENTUM = 0.9
+    c.OPTIM.SGD_DAMPNING = 0
+    c.OPTIM.SGD_NESTEROV = False
+    c.OPTIM.RMSPROP_ALPHA = 0.99
+    c.OPTIM.ADAM_BETA1 = 0.9
+    c.OPTIM.ADAM_BETA2 = 0.999
+    c.OPTIM.STAGED_LR = False
+    c.OPTIM.NEW_LAYERS = ()
+    c.OPTIM.BASE_LR_MULT = 0.1
+    c.OPTIM.LR_SCHEDULER = "single_step"
+    c.OPTIM.STEPSIZE = (-1,)
+    c.OPTIM.GAMMA = 0.1
+    c.OPTIM.MAX_EPOCH = 10
+    c.OPTIM.WARMUP_EPOCH = -1
+    c.OPTIM.WARMUP_TYPE = "linear"
+    c.OPTIM.WARMUP_CONS_LR = 1e-5
+    c.OPTIM.WARMUP_MIN_LR = 1e-5
+    c.OPTIM.WARMUP_RECOUNT = True
+
+    # ---- train / test ------------------------------------------------------
+    c.TRAIN = CfgNode()
+    c.TRAIN.CHECKPOINT_FREQ = 0
+    c.TRAIN.PRINT_FREQ = 10
+    c.TRAIN.COUNT_ITER = "train_x"
+
+    c.TEST = CfgNode()
+    c.TEST.EVALUATOR = "Classification"
+    c.TEST.PER_CLASS_RESULT = False
+    c.TEST.COMPUTE_CMAT = False
+    c.TEST.NO_TEST = False
+    c.TEST.SPLIT = "test"
+    c.TEST.FINAL_MODEL = "last_step"
+
+    # ---- trainer specifics ---------------------------------------------------
+    c.TRAINER = CfgNode()
+    c.TRAINER.NAME = ""
+
+    c.TRAINER.COOP = CfgNode()
+    c.TRAINER.COOP.N_CTX = 16
+    c.TRAINER.COOP.CSC = False
+    c.TRAINER.COOP.CTX_INIT = ""
+    c.TRAINER.COOP.PREC = "fp16"
+    c.TRAINER.COOP.CLASS_TOKEN_POSITION = "end"
+    c.TRAINER.COOP.VISUAL_TOKEN_PATH = ""
+
+    c.TRAINER.COCOOP = CfgNode()
+    c.TRAINER.COCOOP.N_CTX = 16
+    c.TRAINER.COCOOP.CTX_INIT = ""
+    c.TRAINER.COCOOP.PREC = "fp16"
+
+    # ---- OVMR top-level extensions (reference train.py:100-132) --------------
+    c.FS_CLASSIFIER = "metaopt"
+    c.CLASSIFIER_PARAMETERS = []
+    c.STAGE_NUM = 1
+    c.USE_CLIP_TEXT = False
+    c.EVAL_MODE = "multimodal"  # text | vision | multimodal | fusion
+    c.EVAL_TAU = 10
+
+    # ---- TPU-native extensions (no reference counterpart) -------------------
+    c.TPU = CfgNode()
+    # compute dtype for the frozen towers: bfloat16 (TPU default),
+    # float16 (mirrors the reference numerics) or float32
+    c.TPU.DTYPE = "bfloat16"
+    # mesh axis sizes; -1 on DATA means "all visible devices"
+    c.TPU.MESH = CfgNode()
+    c.TPU.MESH.DATA = -1
+    c.TPU.MESH.MODEL = 1
+    # pad per-dataset class counts up to multiples of this for static shapes
+    c.TPU.CLASS_PAD_MULTIPLE = 8
+    # use the Pallas fused attention kernel (falls back to XLA otherwise)
+    c.TPU.USE_PALLAS_ATTENTION = True
+
+    return c
+
+
+def extend_cfg(cfg: CfgNode) -> CfgNode:
+    """Kept for CLI parity with the reference; defaults already include the
+    OVMR extensions, so this is a no-op hook."""
+    return cfg
