@@ -1,0 +1,288 @@
+"""Functional CLIP towers (ViT image encoder + causal text encoder).
+
+A from-scratch TPU-native re-design of the reference CLIP core
+(``clip/model.py:360-428`` VisionTransformer, ``:715-833`` CLIP/encode_text):
+
+- pure functions over a parameter pytree (no module state);
+- transformer blocks are STACKED along a leading layer axis and executed
+  with ``lax.scan`` — one compiled block body regardless of depth, fast
+  compiles, and natural rematerialisation points;
+- patch embedding is a reshape + single MXU matmul (a stride-p conv with
+  kernel p is exactly that), instead of an im2col convolution;
+- activations run batch-major ``[B, L, D]`` (no NLD->LND permutes);
+- LayerNorm computes in fp32, matmuls accumulate in fp32
+  (see :mod:`ovmr_tpu.ops.layers`).
+
+Weight layout intentionally right-multiplies (``x @ W``, W stored [in, out]);
+:mod:`ovmr_tpu.models.import_torch` transposes torch checkpoints on import.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ovmr_tpu.ops.layers import (
+    attention_xla,
+    causal_mask,
+    layer_norm,
+    residual_attention_block,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    # vision
+    image_resolution: int = 224
+    vision_layers: int = 12
+    vision_width: int = 768
+    vision_patch_size: int = 16
+    # text
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+
+    @property
+    def vision_heads(self) -> int:
+        return self.vision_width // 64
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_resolution // self.vision_patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+
+VIT_B16 = CLIPConfig()
+VIT_B32 = CLIPConfig(vision_patch_size=32)
+VIT_L14 = CLIPConfig(
+    embed_dim=768,
+    vision_layers=24,
+    vision_width=1024,
+    vision_patch_size=14,
+    transformer_width=768,
+    transformer_heads=12,
+    transformer_layers=12,
+)
+
+# test-scale config: tiny everything, exercised against torch goldens
+TINY = CLIPConfig(
+    embed_dim=64,
+    image_resolution=32,
+    vision_layers=2,
+    vision_width=64,
+    vision_patch_size=16,
+    context_length=77,
+    vocab_size=49408,
+    transformer_width=64,
+    transformer_heads=2,
+    transformer_layers=2,
+)
+
+CONFIGS = {
+    "ViT-B/16": VIT_B16,
+    "ViT-B/32": VIT_B32,
+    "ViT-L/14": VIT_L14,
+    "TINY": TINY,
+}
+
+
+# --------------------------------------------------------------------------
+# parameter init (mirrors reference CLIP.initialize_parameters semantics)
+# --------------------------------------------------------------------------
+
+def _init_blocks(key: jax.Array, n_layers: int, width: int, dtype) -> dict:
+    proj_std = (width ** -0.5) * ((2 * n_layers) ** -0.5)
+    attn_std = width ** -0.5
+    fc_std = (2 * width) ** -0.5
+    ks = jax.random.split(key, 4)
+    normal = jax.random.normal
+    return {
+        "w_qkv": (normal(ks[0], (n_layers, width, 3 * width)) * attn_std).astype(dtype),
+        "b_qkv": jnp.zeros((n_layers, 3 * width), dtype),
+        "w_out": (normal(ks[1], (n_layers, width, width)) * proj_std).astype(dtype),
+        "b_out": jnp.zeros((n_layers, width), dtype),
+        "ln_1_scale": jnp.ones((n_layers, width), dtype),
+        "ln_1_bias": jnp.zeros((n_layers, width), dtype),
+        "c_fc_w": (normal(ks[2], (n_layers, width, 4 * width)) * fc_std).astype(dtype),
+        "c_fc_b": jnp.zeros((n_layers, 4 * width), dtype),
+        "c_proj_w": (normal(ks[3], (n_layers, 4 * width, width)) * proj_std).astype(dtype),
+        "c_proj_b": jnp.zeros((n_layers, width), dtype),
+        "ln_2_scale": jnp.ones((n_layers, width), dtype),
+        "ln_2_bias": jnp.zeros((n_layers, width), dtype),
+    }
+
+
+def init_params(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
+    kv, kt, kvb, ktb, kp, ke, kpe, ktp = jax.random.split(key, 8)
+    vw, tw = cfg.vision_width, cfg.transformer_width
+    vscale = vw ** -0.5
+    normal = jax.random.normal
+    patch_in = 3 * cfg.vision_patch_size * cfg.vision_patch_size
+    visual = {
+        "patch_embed_w": (normal(kp, (patch_in, vw)) * vscale).astype(dtype),
+        "class_embedding": (normal(kv, (vw,)) * vscale).astype(dtype),
+        "positional_embedding": (
+            normal(kpe, (cfg.num_patches + 1, vw)) * vscale
+        ).astype(dtype),
+        "ln_pre_scale": jnp.ones((vw,), dtype),
+        "ln_pre_bias": jnp.zeros((vw,), dtype),
+        "blocks": _init_blocks(kvb, cfg.vision_layers, vw, dtype),
+        "ln_post_scale": jnp.ones((vw,), dtype),
+        "ln_post_bias": jnp.zeros((vw,), dtype),
+        "proj": (normal(kt, (vw, cfg.embed_dim)) * vscale).astype(dtype),
+    }
+    text = {
+        "token_embedding": (normal(ke, (cfg.vocab_size, tw)) * 0.02).astype(dtype),
+        "positional_embedding": (
+            normal(kpe, (cfg.context_length, tw)) * 0.01
+        ).astype(dtype),
+        "blocks": _init_blocks(ktb, cfg.transformer_layers, tw, dtype),
+        "ln_final_scale": jnp.ones((tw,), dtype),
+        "ln_final_bias": jnp.zeros((tw,), dtype),
+        "text_projection": (normal(ktp, (tw, cfg.embed_dim)) * tw ** -0.5).astype(
+            dtype
+        ),
+    }
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": jnp.asarray(math.log(1 / 0.07), jnp.float32),
+    }
+
+
+# --------------------------------------------------------------------------
+# forward passes
+# --------------------------------------------------------------------------
+
+def run_blocks(
+    x: jax.Array,
+    blocks: dict,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+    attn_fn=attention_xla,
+) -> jax.Array:
+    """lax.scan over the stacked transformer blocks."""
+
+    def body(h, layer_params):
+        h = residual_attention_block(h, layer_params, n_head, mask, attn_fn)
+        return h, None
+
+    out, _ = jax.lax.scan(body, x, blocks)
+    return out
+
+
+def patchify(images: jax.Array, patch: int) -> jax.Array:
+    """NCHW images -> [B, n_patches, 3*p*p] with (c, ph, pw) flattening order
+    (matches torch conv1 weight layout [width, 3, p, p])."""
+    b, c, h, w = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, c, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # [B, gh, gw, c, p, p]
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def encode_image(
+    params: dict, cfg: CLIPConfig, images: jax.Array, attn_fn=attention_xla
+) -> jax.Array:
+    """ViT forward: patchify -> +cls/pos -> ln_pre -> blocks -> ln_post[0] @ proj.
+
+    Reference: ``clip/model.py:411-428``. Returns [B, embed_dim].
+    """
+    v = params["visual"]
+    dtype = v["patch_embed_w"].dtype
+    x = patchify(images.astype(dtype), cfg.vision_patch_size)
+    x = jnp.dot(x, v["patch_embed_w"], preferred_element_type=jnp.float32).astype(dtype)
+    cls = jnp.broadcast_to(
+        v["class_embedding"].astype(dtype), (x.shape[0], 1, x.shape[-1])
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["positional_embedding"].astype(dtype)
+    x = layer_norm(x, v["ln_pre_scale"], v["ln_pre_bias"])
+    x = run_blocks(x, v["blocks"], cfg.vision_heads, mask=None, attn_fn=attn_fn)
+    pooled = layer_norm(x[:, 0, :], v["ln_post_scale"], v["ln_post_bias"])
+    return jnp.dot(
+        pooled, v["proj"].astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
+def encode_text(
+    params: dict, cfg: CLIPConfig, tokens: jax.Array, attn_fn=attention_xla
+) -> jax.Array:
+    """Text forward on token ids [B, 77]; EOT feature via argmax gather
+    (reference ``clip/model.py:820-833``)."""
+    t = params["text"]
+    dtype = t["token_embedding"].dtype
+    x = jnp.take(t["token_embedding"], tokens, axis=0).astype(dtype)
+    eos_index = jnp.argmax(tokens, axis=-1)
+    return encode_text_embeds(params, cfg, x, eos_index, attn_fn=attn_fn)
+
+
+def encode_text_embeds(
+    params: dict,
+    cfg: CLIPConfig,
+    embeds: jax.Array,
+    eos_index: jax.Array,
+    attn_fn=attention_xla,
+) -> jax.Array:
+    """Prompt-side text forward on pre-built embeddings [B, L, D]:
+    positional embedding sliced to L, explicit EOT gather index
+    (reference ``trainers/mm_classifier_one_prompt.py:63-91``)."""
+    t = params["text"]
+    dtype = embeds.dtype
+    length = embeds.shape[1]
+    x = embeds + t["positional_embedding"][:length].astype(dtype)
+    mask = causal_mask(length)
+    x = run_blocks(x, t["blocks"], cfg.transformer_heads, mask=mask, attn_fn=attn_fn)
+    x = layer_norm(x, t["ln_final_scale"], t["ln_final_bias"])
+    pooled = jnp.take_along_axis(
+        x, eos_index.reshape(-1, 1, 1).astype(jnp.int32), axis=1
+    )[:, 0, :]
+    return jnp.dot(
+        pooled, t["text_projection"].astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
+def embed_tokens(params: dict, tokens: jax.Array) -> jax.Array:
+    """Token-embedding lookup [B, L] -> [B, L, D] (host of prompt splicing)."""
+    emb = params["text"]["token_embedding"]
+    return jnp.take(emb, tokens, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def clip_forward(params: dict, cfg: CLIPConfig, images: jax.Array, tokens: jax.Array):
+    """Contrastive forward (reference ``clip/model.py:835-849``):
+    returns (logits_per_image, logits_per_text)."""
+    from ovmr_tpu.ops.layers import l2_normalize
+
+    img = l2_normalize(encode_image(params, cfg, images))
+    txt = l2_normalize(encode_text(params, cfg, tokens))
+    scale = jnp.exp(params["logit_scale"]).astype(img.dtype)
+    logits_per_image = scale * img @ txt.T
+    return logits_per_image, logits_per_image.T
+
+
+def cast_params(params: dict, dtype) -> dict:
+    """Cast floating leaves to `dtype`, keeping logit_scale fp32 (matches
+    reference convert_weights keeping LN fp32-computed; LN params can be low
+    precision since layer_norm upcasts)."""
+
+    def cast(path_leaf):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            path_leaf,
+        )
+
+    out = {k: cast(v) for k, v in params.items() if k != "logit_scale"}
+    out["logit_scale"] = params["logit_scale"]
+    return out

@@ -1,0 +1,140 @@
+"""Core numerics shared by all towers.
+
+Mirrors the reference CLIP numerics contract (``clip/model.py``):
+
+- LayerNorm always computes in float32 and casts back to the input dtype
+  (reference ``clip/model.py:153-159`` — the fp16-safe LayerNorm).
+- QuickGELU is ``x * sigmoid(1.702 x)`` (reference ``clip/model.py:162-164``).
+- Multi-head attention follows torch ``nn.MultiheadAttention`` semantics:
+  packed QKV projection, per-head scaling by ``head_dim**-0.5``, additive
+  mask, output projection. Softmax runs in float32 (an accuracy upgrade over
+  torch-fp16; harmless for parity at the tolerance ladder we test under).
+
+All matmuls request float32 accumulation (``preferred_element_type``) so
+bf16/fp16 activations still accumulate at full precision on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    """x @ w (+ b) with fp32 accumulation; w stored [in, out]."""
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def mlp_block(x: jax.Array, p: dict) -> jax.Array:
+    """c_fc -> QuickGELU -> c_proj (reference ResidualAttentionBlock.mlp)."""
+    h = dense(x, p["c_fc_w"], p["c_fc_b"])
+    h = quick_gelu(h)
+    return dense(h, p["c_proj_w"], p["c_proj_b"])
+
+
+def split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    """[B, L, D] -> [B, H, L, Dh]"""
+    b, l, d = x.shape
+    return x.reshape(b, l, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """[B, H, L, Dh] -> [B, L, D]"""
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+
+def attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Reference-path attention: [B, H, L, Dh] inputs, additive mask [L, L].
+
+    Scores and softmax in float32; output cast back to q.dtype. XLA fuses
+    this well; the Pallas kernel in :mod:`ovmr_tpu.ops.attention` is the
+    TPU fast path for the same contract.
+    """
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(q.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def multi_head_attention(
+    x: jax.Array,
+    p: dict,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+    attn_fn=attention_xla,
+) -> jax.Array:
+    """torch ``nn.MultiheadAttention`` equivalent over batch-major [B, L, D].
+
+    Params: ``w_qkv`` [D, 3D], ``b_qkv`` [3D], ``w_out`` [D, D], ``b_out`` [D]
+    (transposed from torch's [3D, D] in_proj so the hot op is x @ W on MXU).
+    """
+    d = x.shape[-1]
+    qkv = dense(x, p["w_qkv"], p["b_qkv"])  # [B, L, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (split_heads(t, n_head) for t in (q, k, v))
+    out = attn_fn(q, k, v, mask)
+    out = merge_heads(out)
+    return dense(out, p["w_out"], p["b_out"])
+
+
+def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask: 0 on/below diagonal, -inf above
+    (reference ``clip/model.py:802-808``)."""
+    neg = jnp.full((length, length), -jnp.inf, dtype=dtype)
+    return jnp.triu(neg, k=1)
+
+
+def residual_attention_block(
+    x: jax.Array,
+    p: dict,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+    attn_fn=attention_xla,
+) -> jax.Array:
+    """Pre-LN block: x + MHA(LN(x)); x + MLP(LN(x))
+    (reference ``clip/model.py:191-194``)."""
+    x = x + multi_head_attention(
+        layer_norm(x, p["ln_1_scale"], p["ln_1_bias"]), p, n_head, mask, attn_fn
+    )
+    x = x + mlp_block(layer_norm(x, p["ln_2_scale"], p["ln_2_bias"]), p)
+    return x
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
+    """Unit-normalize along `axis` in float32 (matches torch
+    ``x / x.norm(dim=-1, keepdim=True)`` up to dtype rounding)."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.linalg.norm(xf, axis=axis, keepdims=True)
+    return (xf / (norm + eps)).astype(x.dtype)

@@ -1,23 +1,20 @@
 """Test harness configuration.
 
 Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
-exercised without TPU hardware. Must set flags before jax initializes.
+exercised without TPU hardware.
+
+Note: this environment's sitecustomize imports jax at interpreter startup
+(axon TPU plugin), so JAX_PLATFORMS env vars set here are too late —
+``jax.config.update`` still works because backends initialize lazily.
 """
 
-import os
+import jax
+import pytest
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import pytest  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 
 @pytest.fixture(scope="session")
 def rng():
-    import jax
-
     return jax.random.PRNGKey(0)
