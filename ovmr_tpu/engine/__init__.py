@@ -1,0 +1,12 @@
+from .optimizers import build_optimizer, set_lr
+from .schedule import lr_for_epoch, lr_schedule_from_cfg
+from .train_step import make_train_step, sample_split_point
+
+__all__ = [
+    "build_optimizer",
+    "set_lr",
+    "lr_for_epoch",
+    "lr_schedule_from_cfg",
+    "make_train_step",
+    "sample_split_point",
+]

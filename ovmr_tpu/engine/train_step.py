@@ -1,0 +1,111 @@
+"""Compiled OVMR training step.
+
+One ``jit`` program per split_point value covering the whole reference
+``forward_backward`` (``trainers/mm_classifier_one_prompt.py:294-338,
+421-452``):
+
+- a class-grouped batch [num_cls, n_ins, 3, H, W] is split at a random
+  ``split_point`` into query and exemplar instances (split_point is a STATIC
+  argument — it only takes ~n_ins/2 distinct values, each compiled once and
+  cached, keeping all shapes static inside the trace);
+- both halves run through the frozen CLIP image tower (no gradients flow
+  there: only aggregator params are differentiated);
+- exemplar features -> vokens (dropout active) -> mm/v classifiers via the
+  frozen text tower (gradients DO flow through the text tower into the
+  vokens, as in the reference);
+- loss = CE(mm_logits) + CE(v_logits) with within-batch labels
+  ``arange(num_cls)`` repeated per query instance;
+- adam update on the aggregator params only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ovmr_tpu.models import clip as jclip
+from ovmr_tpu.models import ovmr
+from ovmr_tpu.ops.layers import attention_xla, l2_normalize
+
+
+def make_train_step(
+    clip_cfg: jclip.CLIPConfig,
+    optimizer: optax.GradientTransformation,
+    dropout: float = 0.1,
+    attn_fn=attention_xla,
+):
+    @partial(jax.jit, static_argnames=("split_point",))
+    def train_step(
+        agg_params: dict,
+        opt_state,
+        clip_params: dict,
+        images: jax.Array,  # [num_cls, n_ins, 3, H, W]
+        prompt_tokens: jax.Array,  # [num_cls, 77]
+        eot_idx: jax.Array,  # [num_cls]
+        vis_tokens: jax.Array,  # [77]
+        rng: jax.Array,
+        split_point: int,
+    ):
+        num_cls, n_ins = images.shape[:2]
+        img_shape = images.shape[2:]
+        query = images[:, :split_point].reshape(num_cls * split_point, *img_shape)
+        exemplar = images[:, split_point:].reshape(
+            num_cls * (n_ins - split_point), *img_shape
+        )
+
+        q_feats = l2_normalize(
+            jclip.encode_image(clip_params, clip_cfg, query, attn_fn=attn_fn)
+        )
+        e_feats = l2_normalize(
+            jclip.encode_image(clip_params, clip_cfg, exemplar, attn_fn=attn_fn)
+        ).reshape(num_cls, n_ins - split_point, -1)
+
+        prompt_embeds = jclip.embed_tokens(clip_params, prompt_tokens).astype(
+            e_feats.dtype
+        )
+        vis_embeds = jnp.broadcast_to(
+            jclip.embed_tokens(clip_params, vis_tokens[None]).astype(e_feats.dtype),
+            (num_cls, vis_tokens.shape[0], e_feats.shape[-1]),
+        )
+
+        labels = jnp.repeat(jnp.arange(num_cls), split_point)
+        logit_scale = jnp.exp(clip_params["logit_scale"]).astype(jnp.float32)
+
+        def loss_fn(agg_p):
+            mm_cls, v_cls, _ = ovmr.classifier_heads(
+                clip_params,
+                clip_cfg,
+                agg_p,
+                e_feats,
+                prompt_embeds,
+                vis_embeds,
+                eot_idx,
+                dropout=dropout,
+                rng=rng,
+                attn_fn=attn_fn,
+            )
+            qf = q_feats.astype(jnp.float32)
+            mm_logits = logit_scale * qf @ mm_cls.astype(jnp.float32).T
+            v_logits = logit_scale * qf @ v_cls.astype(jnp.float32).T
+            ce = optax.softmax_cross_entropy_with_integer_labels
+            return ce(mm_logits, labels).mean() + ce(v_logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(agg_params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, agg_params)
+        new_agg_params = optax.apply_updates(agg_params, updates)
+        return new_agg_params, new_opt_state, loss
+
+    return train_step
+
+
+def sample_split_point(py_rng, n_ins: int) -> int:
+    """split_point ~ U[n_ins//4, 3*n_ins//4) (reference ``mm_…:300``),
+    drawn on host so it stays a static compile-time value."""
+    lo, hi = n_ins // 4, (3 * n_ins) // 4
+    return int(py_rng.integers(lo, hi)) if hasattr(py_rng, "integers") else int(
+        py_rng.randint(lo, hi - 1)
+    )
