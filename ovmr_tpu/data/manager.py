@@ -1,0 +1,171 @@
+"""DataManager + host data loader.
+
+The reference wires torch DataLoaders in ``dassl/data/data_manager.py``;
+here a loader is a seed-stable python iterator producing numpy batches
+``{"img": [B,3,H,W] float32, "label": [B] int32, "impath": list}`` with a
+thread pool overlapping JPEG decode + augmentation with device compute.
+
+Loader lineup matches the reference (``data_manager.py:116-246``):
+- ``train_loader_x``: TRAIN_X sampler/batch (OVMR: RandomClassSampler 1536/8)
+- ``val_loader`` / ``test_loader``: sequential, test transform
+- ``eval_set_loader``: RandomClassSampler over the exemplar split with
+  n_ins = DATASET.NUM_SHOTS and the TEST transform — the source of
+  classifier-generation exemplars (``data_manager.py:156-170``).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ovmr_tpu.utils.tools import read_image
+
+from .datum import DatasetBase
+from .registry import build_dataset
+from .samplers import build_sampler
+from .transforms import build_transform
+
+
+class HostDataLoader:
+    """Iterates epochs of transformed image batches."""
+
+    def __init__(
+        self,
+        data_source,
+        sampler,
+        transform,
+        batch_size: int,
+        seed: int = 0,
+        num_workers: int = 8,
+        drop_last: bool = False,
+    ):
+        self.data_source = data_source
+        self.sampler = sampler
+        self.transform = transform
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self) -> int:
+        rng = np.random.default_rng(self._seed)
+        n = len(self.sampler.epoch_indices(rng))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _load_one(self, idx: int):
+        item = self.data_source[idx]
+        img = read_image(item.impath)
+        arr = self.transform(img) if self.transform is not None else (
+            np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+        )
+        return arr, item.label, item.impath
+
+    def __iter__(self) -> Iterator[Dict]:
+        rng = np.random.default_rng(self._seed + self._epoch)
+        indices = self.sampler.epoch_indices(rng)
+        self._epoch += 1
+
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for start in range(0, len(indices), self.batch_size):
+                batch_idx = indices[start : start + self.batch_size]
+                if self.drop_last and len(batch_idx) < self.batch_size:
+                    break
+                results = list(pool.map(self._load_one, batch_idx))
+                imgs = np.stack([r[0] for r in results]).astype(np.float32)
+                labels = np.asarray([r[1] for r in results], np.int32)
+                yield {
+                    "img": imgs,
+                    "label": labels,
+                    "impath": [r[2] for r in results],
+                    "index": np.asarray(batch_idx, np.int64),
+                }
+
+
+class DataManager:
+    def __init__(self, cfg, dataset: Optional[DatasetBase] = None):
+        self.cfg = cfg
+        self.dataset = dataset if dataset is not None else build_dataset(cfg)
+
+        tfm_train = build_transform(cfg, is_train=True)
+        tfm_test = build_transform(cfg, is_train=False)
+        self.tfm_train, self.tfm_test = tfm_train, tfm_test
+        nw = cfg.DATALOADER.NUM_WORKERS
+        seed = max(cfg.SEED, 0)
+
+        ds = self.dataset
+        self.train_loader_x = HostDataLoader(
+            ds.train_x,
+            build_sampler(
+                cfg.DATALOADER.TRAIN_X.SAMPLER,
+                ds.train_x,
+                cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+                cfg.DATALOADER.TRAIN_X.N_INS,
+            ),
+            tfm_train,
+            cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+            seed=seed,
+            num_workers=nw,
+        ) if ds.train_x else None
+
+        self.val_loader = HostDataLoader(
+            ds.val,
+            build_sampler("SequentialSampler", ds.val, cfg.DATALOADER.TEST.BATCH_SIZE),
+            tfm_test,
+            cfg.DATALOADER.TEST.BATCH_SIZE,
+            seed=seed,
+            num_workers=nw,
+        ) if ds.val else None
+
+        self.test_loader = HostDataLoader(
+            ds.test,
+            build_sampler("SequentialSampler", ds.test, cfg.DATALOADER.TEST.BATCH_SIZE),
+            tfm_test,
+            cfg.DATALOADER.TEST.BATCH_SIZE,
+            seed=seed,
+            num_workers=nw,
+        ) if ds.test else None
+
+        # exemplar loader: class-grouped, NUM_SHOTS instances per class,
+        # test-time transform (is_train=False contract of the reference)
+        self.eval_set_loader = HostDataLoader(
+            ds.eval_set,
+            build_sampler(
+                "RandomClassSampler",
+                ds.eval_set,
+                max(
+                    cfg.DATALOADER.TEST.BATCH_SIZE,
+                    cfg.DATASET.NUM_SHOTS if cfg.DATASET.NUM_SHOTS > 0 else 1,
+                ),
+                max(cfg.DATASET.NUM_SHOTS, 1),
+            ),
+            tfm_test,
+            max(
+                cfg.DATALOADER.TEST.BATCH_SIZE,
+                cfg.DATASET.NUM_SHOTS if cfg.DATASET.NUM_SHOTS > 0 else 1,
+            ),
+            seed=seed,
+            num_workers=nw,
+        ) if ds.eval_set else None
+
+        self.num_classes = ds.num_classes
+        self.lab2cname = ds.lab2cname
+
+    def show_dataset_summary(self):
+        cfg = self.cfg
+        ds = self.dataset
+        rows = [
+            ("Dataset", cfg.DATASET.NAME),
+            ("# classes", f"{self.num_classes:,}"),
+            ("# train_x", f"{len(ds.train_x):,}"),
+            ("# val", f"{len(ds.val):,}" if ds.val else "0"),
+            ("# test", f"{len(ds.test):,}"),
+        ]
+        width = max(len(r[0]) for r in rows) + 2
+        print("***** Dataset statistics *****")
+        for k, v in rows:
+            print(f"  {k:<{width}} {v}")

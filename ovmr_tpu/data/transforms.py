@@ -1,0 +1,196 @@
+"""Host-side image transforms (PIL + numpy).
+
+Same pipeline contract as the reference transform builder
+(``dassl/data/transforms/transforms.py:213-239, 244-371, 495-526``):
+
+- train (OVMR config): random_resized_crop(scale 0.25-1.0, bicubic) ->
+  random_flip -> colorjitter -> ToTensor -> normalize -> gaussian_noise;
+- test: resize smaller edge to max(SIZE) (bicubic) -> center crop ->
+  ToTensor -> normalize.
+
+The test path is numerically faithful (PIL bicubic — exactly what
+torchvision uses for PIL inputs); train-time augs are stochastic so
+distributional equivalence is the contract. Outputs are CHW float32.
+
+For speed-of-light eval throughput there is also a fused on-device
+preprocessing path in :mod:`ovmr_tpu.ops.preprocess` operating on uint8
+batches.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Callable, List, Sequence
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+BICUBIC = Image.BICUBIC
+BILINEAR = Image.BILINEAR
+INTERP = {"bicubic": BICUBIC, "bilinear": BILINEAR, "nearest": Image.NEAREST}
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def to_chw_float(img: Image.Image) -> np.ndarray:
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr.transpose(2, 0, 1)
+
+
+def normalize(arr: np.ndarray, mean: Sequence[float], std: Sequence[float]) -> np.ndarray:
+    mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+    std = np.asarray(std, np.float32).reshape(3, 1, 1)
+    return (arr - mean) / std
+
+
+def resize_smaller_edge(img: Image.Image, size: int, interp=BICUBIC) -> Image.Image:
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, max(int(round(h * size / w)), size)
+    else:
+        nw, nh = max(int(round(w * size / h)), size), size
+    return img.resize((nw, nh), interp)
+
+
+def center_crop(img: Image.Image, size: Sequence[int]) -> Image.Image:
+    th, tw = size
+    w, h = img.size
+    left = int(round((w - tw) / 2.0))
+    top = int(round((h - th) / 2.0))
+    return img.crop((left, top, left + tw, top + th))
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: Sequence[int],
+    scale=(0.08, 1.0),
+    ratio=(3.0 / 4.0, 4.0 / 3.0),
+    interp=BICUBIC,
+    rng: random.Random = random,
+) -> Image.Image:
+    """torchvision RandomResizedCrop algorithm: 10 tries of area/log-ratio
+    sampling, else center-crop fallback."""
+    w, h = img.size
+    area = w * h
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = math.exp(rng.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            crop = img.crop((left, top, left + cw, top + ch))
+            return crop.resize((size[1], size[0]), interp)
+    # fallback: largest valid center crop
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    left, top = (w - cw) // 2, (h - ch) // 2
+    return img.crop((left, top, left + cw, top + ch)).resize((size[1], size[0]), interp)
+
+
+def color_jitter(
+    img: Image.Image,
+    brightness: float,
+    contrast: float,
+    saturation: float,
+    hue: float,
+    rng: random.Random = random,
+) -> Image.Image:
+    ops = []
+    if brightness > 0:
+        f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+    if contrast > 0:
+        f2 = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f2))
+    if saturation > 0:
+        f3 = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        ops.append(lambda im: ImageEnhance.Color(im).enhance(f3))
+    if hue > 0:
+        shift = rng.uniform(-hue, hue)
+
+        def _hue(im, shift=shift):
+            hsv = np.array(im.convert("HSV"), dtype=np.int16)
+            hsv[..., 0] = (hsv[..., 0] + int(shift * 255)) % 256
+            return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+
+        ops.append(_hue)
+    rng.shuffle(ops)
+    for op in ops:
+        img = op(img)
+    return img
+
+
+class Transform:
+    """A composed image transform: PIL.Image -> CHW float32 numpy."""
+
+    def __init__(self, fn: Callable, description: str):
+        self.fn = fn
+        self.description = description
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        return self.fn(img)
+
+    def __repr__(self):
+        return f"Transform({self.description})"
+
+
+def build_transform(cfg, is_train: bool = True, choices=None) -> Transform:
+    if cfg.INPUT.NO_TRANSFORM:
+        return None
+    choices = list(choices if choices is not None else cfg.INPUT.TRANSFORMS)
+    size = tuple(cfg.INPUT.SIZE)
+    interp = INTERP[cfg.INPUT.INTERPOLATION]
+    mean, std = cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD
+
+    if not is_train:
+        def test_fn(img: Image.Image) -> np.ndarray:
+            img = resize_smaller_edge(img, max(size), interp)
+            img = center_crop(img, size)
+            arr = to_chw_float(img)
+            if "normalize" in choices:
+                arr = normalize(arr, mean, std)
+            return arr
+
+        return Transform(test_fn, f"test resize+crop {size}")
+
+    rrc_scale = tuple(cfg.INPUT.RRCROP_SCALE)
+    cj = (
+        cfg.INPUT.COLORJITTER_B,
+        cfg.INPUT.COLORJITTER_C,
+        cfg.INPUT.COLORJITTER_S,
+        cfg.INPUT.COLORJITTER_H,
+    )
+    gn_mean, gn_std = cfg.INPUT.GN_MEAN, cfg.INPUT.GN_STD
+
+    def train_fn(img: Image.Image) -> np.ndarray:
+        if "random_resized_crop" in choices:
+            img = random_resized_crop(img, size, scale=rrc_scale, interp=interp)
+        elif "random_crop" not in choices:
+            img = resize_smaller_edge(img, max(size), interp)
+            img = center_crop(img, size)
+        if "random_flip" in choices and random.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if "colorjitter" in choices:
+            img = color_jitter(img, *cj)
+        arr = to_chw_float(img)
+        if "normalize" in choices:
+            arr = normalize(arr, mean, std)
+        if "gaussian_noise" in choices and random.random() < 0.5:
+            arr = arr + (
+                np.random.randn(*arr.shape).astype(np.float32) * gn_std + gn_mean
+            )
+        return arr
+
+    return Transform(train_fn, f"train {choices} {size}")
