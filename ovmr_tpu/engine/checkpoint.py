@@ -1,0 +1,228 @@
+"""Checkpointing and artifact export.
+
+Directory layout matches the reference trainer
+(``dassl/utils/torchtools.py:27-74``): one subdir per registered model
+(``prompt_learner/``), per-epoch files plus a ``checkpoint`` pointer file.
+Native format is npz (path-flattened pytrees); the exported classifier
+artifacts (``mm_classifiers.pt`` / ``visual_tokens.pt``) and an optional
+torch-format generator checkpoint are written with torch-cpu for drop-in
+compatibility with reference consumers
+(``trainers/mm_classifier_one_prompt.py:276-291``).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ovmr_tpu.utils.tools import mkdir_if_missing
+
+SEP = "//"
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = SEP.join(_path_str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_str(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    return str(p)
+
+
+def _unflatten_like(template, flat: Dict[str, np.ndarray]):
+    paths_leaves = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths_leaves[0]:
+        key = SEP.join(_path_str(p) for p in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing leaf {key!r}")
+        loaded = flat[key]
+        leaves.append(np.asarray(loaded, dtype=np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(paths_leaves[1], leaves)
+
+
+def save_checkpoint(
+    directory: str,
+    name: str,
+    epoch: int,
+    params,
+    opt_state=None,
+    is_best: bool = False,
+) -> str:
+    """Write ``{directory}/{name}/model-{epoch}.npz`` + pointer file."""
+    subdir = osp.join(directory, name)
+    mkdir_if_missing(subdir)
+    path = osp.join(subdir, f"model-{epoch}.npz")
+    payload = {("params" + SEP + k): v for k, v in _flatten(params).items()}
+    payload["__epoch__"] = np.asarray(epoch)
+    if opt_state is not None:
+        payload.update(
+            {("opt" + SEP + k): v for k, v in _flatten(opt_state).items()}
+        )
+    np.savez(path, **payload)
+    with open(osp.join(subdir, "checkpoint"), "w") as f:
+        f.write(osp.basename(path))
+    if is_best:
+        np.savez(osp.join(subdir, "model-best.npz"), **payload)
+    print(f"Checkpoint saved to {path}")
+    return path
+
+
+def load_checkpoint(
+    directory: str,
+    name: str,
+    params_template,
+    opt_state_template=None,
+    epoch: Optional[int] = None,
+) -> Tuple[Any, Any, int]:
+    """Load by explicit epoch, else follow the pointer file.
+    Returns (params, opt_state_or_None, epoch)."""
+    subdir = osp.join(directory, name)
+    if epoch is not None:
+        path = osp.join(subdir, f"model-{epoch}.npz")
+    else:
+        pointer = osp.join(subdir, "checkpoint")
+        if not osp.exists(pointer):
+            raise FileNotFoundError(f"No checkpoint pointer at {pointer}")
+        with open(pointer) as f:
+            path = osp.join(subdir, f.read().strip())
+    if not osp.exists(path):
+        # reference-format torch checkpoint fallback (model.pth.tar-{epoch})
+        torch_path = osp.join(subdir, f"model.pth.tar-{epoch}")
+        if epoch is not None and osp.exists(torch_path):
+            from ovmr_tpu.models.import_torch import load_prompt_learner
+
+            params, ep = load_prompt_learner(torch_path)
+            return params, None, ep
+        raise FileNotFoundError(f'Model not found at "{path}"')
+
+    data = np.load(path)
+    flat = {k: data[k] for k in data.files}
+    p_flat = {
+        k[len("params" + SEP) :]: v
+        for k, v in flat.items()
+        if k.startswith("params" + SEP)
+    }
+    params = _unflatten_like(params_template, p_flat)
+    opt_state = None
+    if opt_state_template is not None:
+        o_flat = {
+            k[len("opt" + SEP) :]: v
+            for k, v in flat.items()
+            if k.startswith("opt" + SEP)
+        }
+        if o_flat:
+            opt_state = _unflatten_like(opt_state_template, o_flat)
+    ep = int(flat.get("__epoch__", epoch or 0))
+    return params, opt_state, ep
+
+
+def resume_from_checkpoint(directory, name, params_template, opt_state_template):
+    """Resume latest if present, else return templates unchanged with epoch 0
+    (reference ``resume_from_checkpoint`` semantics)."""
+    try:
+        params, opt_state, epoch = load_checkpoint(
+            directory, name, params_template, opt_state_template
+        )
+        print(f"Resumed from epoch {epoch}")
+        if opt_state is None:
+            opt_state = opt_state_template
+        return params, opt_state, epoch
+    except FileNotFoundError:
+        return params_template, opt_state_template, 0
+
+
+# --------------------------------------------------------------------------
+# torch-compatible artifact export
+# --------------------------------------------------------------------------
+
+def export_classifiers_torch(classifiers: dict, output_dir: str) -> None:
+    """Write ``mm_classifiers.pt`` + ``visual_tokens.pt`` with the exact key
+    names and fp32 dtype the reference saves (``mm_…:276-291``)."""
+    import torch
+
+    mkdir_if_missing(output_dir)
+    torch.save(
+        {
+            "text_classifier": torch.tensor(
+                np.asarray(classifiers["text_classifier"], np.float32)
+            ),
+            "vision_classifier": torch.tensor(
+                np.asarray(classifiers["vision_classifier"], np.float32)
+            ),
+            "mm_classifier": torch.tensor(
+                np.asarray(classifiers["mm_classifier"], np.float32)
+            ),
+            "fusion_weight": torch.tensor(
+                np.asarray(classifiers["fusion_weight"], np.float32)
+            ),
+        },
+        osp.join(output_dir, "mm_classifiers.pt"),
+    )
+    torch.save(
+        {
+            "visual_tokens": torch.tensor(
+                np.asarray(classifiers["visual_tokens"], np.float32)
+            )
+        },
+        osp.join(output_dir, "visual_tokens.pt"),
+    )
+
+
+def aggregator_to_torch_state_dict(agg_params: dict) -> dict:
+    """Inverse of the importer: our aggregator pytree -> reference
+    prompt_learner torch state_dict (``aggregator.resblocks.{i}.*`` +
+    ``cls_token``), so generators trained here load in the reference."""
+    import torch
+
+    blocks = agg_params["blocks"]
+    n_layers = np.asarray(blocks["w_qkv"]).shape[0]
+    sd = {"cls_token": torch.tensor(np.asarray(agg_params["cls_token"], np.float32))}
+    names = [
+        ("attn.in_proj_weight", "w_qkv", True),
+        ("attn.in_proj_bias", "b_qkv", False),
+        ("attn.out_proj.weight", "w_out", True),
+        ("attn.out_proj.bias", "b_out", False),
+        ("ln_1.weight", "ln_1_scale", False),
+        ("ln_1.bias", "ln_1_bias", False),
+        ("mlp.c_fc.weight", "c_fc_w", True),
+        ("mlp.c_fc.bias", "c_fc_b", False),
+        ("mlp.c_proj.weight", "c_proj_w", True),
+        ("mlp.c_proj.bias", "c_proj_b", False),
+        ("ln_2.weight", "ln_2_scale", False),
+        ("ln_2.bias", "ln_2_bias", False),
+    ]
+    for i in range(n_layers):
+        for torch_name, ours, transpose in names:
+            arr = np.asarray(blocks[ours][i], np.float32)
+            if transpose:
+                arr = arr.T
+            sd[f"aggregator.resblocks.{i}.{torch_name}"] = torch.tensor(
+                np.ascontiguousarray(arr)
+            )
+    return sd
+
+
+def save_torch_checkpoint(directory: str, name: str, epoch: int, agg_params: dict):
+    """Reference-format ``model.pth.tar-{epoch}`` file."""
+    import torch
+
+    subdir = osp.join(directory, name)
+    mkdir_if_missing(subdir)
+    path = osp.join(subdir, f"model.pth.tar-{epoch}")
+    torch.save(
+        {"state_dict": aggregator_to_torch_state_dict(agg_params), "epoch": epoch},
+        path,
+    )
+    return path

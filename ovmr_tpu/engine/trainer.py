@@ -1,0 +1,430 @@
+"""Trainer hierarchy and the MM_CLS_OP trainer (OVMR's main entry).
+
+The TPU-native re-design of the reference engine
+(``dassl/engine/trainer.py`` + ``trainers/mm_classifier_one_prompt.py``):
+
+- TrainerBase: epoch loop, checkpoint cadence, logging/meters, test() driver;
+- MM_CLS_OP: frozen CLIP towers (params loaded from a torch checkpoint when
+  available, else random-init for smoke runs), the aggregator as the only
+  trainable state, jitted train step (one compile per split-point value),
+  single-program classifier generation with padded class counts, per-mode
+  evaluation and ``mm_classifiers.pt`` export.
+
+TPU specifics: static shapes everywhere (train drops ragged tail batches;
+test pads the tail batch and masks), class counts padded to
+``TPU.CLASS_PAD_MULTIPLE``, batch axes sharded over the mesh 'data' axis.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import os.path as osp
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ovmr_tpu.data import DataManager
+from ovmr_tpu.engine import checkpoint as ckpt
+from ovmr_tpu.engine.optimizers import build_optimizer, set_lr
+from ovmr_tpu.engine.schedule import lr_schedule_from_cfg
+from ovmr_tpu.engine.train_step import make_train_step, sample_split_point
+from ovmr_tpu.evaluation import build_evaluator
+from ovmr_tpu.models import clip as jclip
+from ovmr_tpu.models import ovmr
+from ovmr_tpu.models.aggregator import init_aggregator
+from ovmr_tpu.ops.attention import make_attn_fn
+from ovmr_tpu.ops.layers import l2_normalize
+from ovmr_tpu.parallel import build_mesh, pad_to_multiple
+from ovmr_tpu.utils import AverageMeter, MetricMeter, Registry
+
+TRAINER_REGISTRY = Registry("TRAINER")
+
+
+def build_trainer(cfg):
+    return TRAINER_REGISTRY.get(cfg.TRAINER.NAME)(cfg)
+
+
+def resolve_clip_checkpoint(backbone_name: str) -> Optional[str]:
+    """Find a local OpenAI CLIP checkpoint for `backbone_name`.
+
+    Search order: $OVMR_CLIP_CKPT, ~/.cache/clip/<canonical filename>.
+    (This environment has no network egress; the reference downloads by URL,
+    ``clip/clip.py:29-70``.)"""
+    env = os.environ.get("OVMR_CLIP_CKPT")
+    if env and osp.exists(env):
+        return env
+    fname = {
+        "ViT-B/16": "ViT-B-16.pt",
+        "ViT-B/32": "ViT-B-32.pt",
+        "ViT-L/14": "ViT-L-14.pt",
+    }.get(backbone_name, backbone_name.replace("/", "-") + ".pt")
+    cache = osp.expanduser(osp.join("~", ".cache", "clip", fname))
+    return cache if osp.exists(cache) else None
+
+
+def load_or_init_clip(cfg):
+    """Returns (clip_params fp32, CLIPConfig). Falls back to random init when
+    no checkpoint exists (accuracy-meaningless but keeps every pipeline
+    runnable end-to-end)."""
+    name = cfg.MODEL.BACKBONE.NAME or "ViT-B/16"
+    path = resolve_clip_checkpoint(name)
+    if path is not None:
+        print(f"Loading CLIP (backbone: {name}) from {path}")
+        from ovmr_tpu.models.import_torch import load_clip
+
+        return load_clip(path)
+    print(
+        f"WARNING: no local CLIP checkpoint for {name}; "
+        "using RANDOM weights (smoke-run mode)"
+    )
+    clip_cfg = jclip.CONFIGS.get(name, jclip.VIT_B16)
+    params = jclip.init_params(jax.random.PRNGKey(0), clip_cfg)
+    return jax.tree_util.tree_map(np.asarray, params), clip_cfg
+
+
+def _dtype_from_cfg(cfg):
+    return {
+        "bfloat16": jnp.bfloat16,
+        "float16": jnp.float16,
+        "fp16": jnp.float16,
+        "float32": jnp.float32,
+        "fp32": jnp.float32,
+    }[cfg.TPU.DTYPE]
+
+
+class TrainerBase:
+    """Generic epoch-loop trainer (reference ``TrainerBase``/``SimpleTrainer``
+    /``TrainerX``, ``dassl/engine/trainer.py:77-674``)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.output_dir = cfg.OUTPUT_DIR
+        self.start_epoch = 0
+        self.max_epoch = cfg.OPTIM.MAX_EPOCH
+        self.epoch = 0
+
+        self.dm = DataManager(cfg)
+        self.dm.show_dataset_summary()
+        self.evaluator = build_evaluator(cfg, lab2cname=self.dm.lab2cname)
+        self.build_model()
+
+    # subclass hooks ------------------------------------------------------
+    def build_model(self):
+        raise NotImplementedError
+
+    def forward_backward(self, batch):
+        raise NotImplementedError
+
+    def before_epoch(self):
+        pass
+
+    def after_epoch(self):
+        last = (self.epoch + 1) == self.max_epoch
+        freq = self.cfg.TRAIN.CHECKPOINT_FREQ
+        if last or (freq > 0 and (self.epoch + 1) % freq == 0):
+            self.save_model(self.epoch + 1)
+
+    def save_model(self, epoch):
+        pass
+
+    def train(self):
+        self.time_start = time.time()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+        print("Finish training")
+        elapsed = round(time.time() - self.time_start)
+        print(f"Elapsed: {datetime.timedelta(seconds=elapsed)}")
+        if not self.cfg.TEST.NO_TEST:
+            self.test()
+
+    def run_epoch(self):
+        losses = MetricMeter()
+        batch_time = AverageMeter()
+        data_time = AverageMeter()
+        self.num_batches = len(self.train_loader)
+        end = time.time()
+        for self.batch_idx, batch in enumerate(self.train_loader):
+            data_time.update(time.time() - end)
+            loss_summary = self.forward_backward(batch)
+            batch_time.update(time.time() - end)
+            if loss_summary:
+                losses.update(loss_summary)
+            if (
+                (self.batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
+                or self.num_batches < self.cfg.TRAIN.PRINT_FREQ
+            ):
+                nb_remain = (self.num_batches - self.batch_idx - 1) + (
+                    self.max_epoch - self.epoch - 1
+                ) * self.num_batches
+                eta = datetime.timedelta(seconds=int(batch_time.avg * nb_remain))
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}]"
+                    f"[{self.batch_idx + 1}/{self.num_batches}]\t"
+                    f"time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                    f"data {data_time.val:.3f} ({data_time.avg:.3f})\t"
+                    f"{losses}\t"
+                    f"eta {eta}"
+                )
+            end = time.time()
+
+    @property
+    def train_loader(self):
+        return self.dm.train_loader_x
+
+    def test(self, split: Optional[str] = None):
+        raise NotImplementedError
+
+
+@TRAINER_REGISTRY.register()
+class MM_CLS_OP(TrainerBase):
+    """OVMR visual-token-generator trainer + classifier-generation eval
+    (reference ``trainers/mm_classifier_one_prompt.py:367-493``)."""
+
+    def build_model(self):
+        cfg = self.cfg
+        self.dtype = _dtype_from_cfg(cfg)
+        self.attn_fn = make_attn_fn(
+            cfg.TPU.USE_PALLAS_ATTENTION if jax.default_backend() == "tpu" else False
+        )
+
+        clip_params, self.clip_cfg = load_or_init_clip(cfg)
+        self.clip_params = jclip.cast_params(
+            jax.tree_util.tree_map(jnp.asarray, clip_params), self.dtype
+        )
+
+        classnames = self.dm.dataset.classnames
+        self.n_cls = len(classnames)
+        self.n_ctx = cfg.TRAINER.COCOOP.N_CTX
+        ptok, eot, vtok = ovmr.build_prompt_tokens(classnames)
+        self.prompt_tokens = jnp.asarray(ptok)
+        self.eot_idx = jnp.asarray(eot)
+        self.vis_tokens = jnp.asarray(vtok)
+
+        key = jax.random.PRNGKey(max(cfg.SEED, 0))
+        self.agg_params = init_aggregator(
+            key,
+            width=self.clip_cfg.embed_dim,
+            layers=4,
+            n_ctx=self.n_ctx,
+        )
+        if cfg.MODEL.INIT_WEIGHTS:
+            from ovmr_tpu.models.import_torch import load_prompt_learner
+
+            self.agg_params, _ = load_prompt_learner(cfg.MODEL.INIT_WEIGHTS)
+            self.agg_params = jax.tree_util.tree_map(jnp.asarray, self.agg_params)
+
+        self.optimizer = build_optimizer(cfg.OPTIM)
+        self.opt_state = self.optimizer.init(self.agg_params)
+        self.lr_table = lr_schedule_from_cfg(cfg.OPTIM)
+
+        self.train_step = make_train_step(
+            self.clip_cfg, self.optimizer, dropout=0.1, attn_fn=self.attn_fn
+        )
+        self._encode_image = jax.jit(
+            lambda p, x: l2_normalize(
+                jclip.encode_image(p, self.clip_cfg, x, attn_fn=self.attn_fn)
+            )
+        )
+        self.rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 1)
+        self.py_rng = np.random.default_rng(max(cfg.SEED, 0))
+        self.classifiers = None
+
+        if cfg.RESUME:
+            self.agg_params, self.opt_state, self.start_epoch = (
+                ckpt.resume_from_checkpoint(
+                    cfg.RESUME, "prompt_learner", self.agg_params, self.opt_state
+                )
+            )
+
+    # ---- training -----------------------------------------------------
+    def before_epoch(self):
+        self.opt_state = set_lr(self.opt_state, self.lr_table[self.epoch])
+
+    def forward_backward(self, batch):
+        cfg = self.cfg
+        n_ins = cfg.DATALOADER.TRAIN_X.N_INS
+        images = batch["img"]
+        labels = batch["label"]
+        num_cls = images.shape[0] // n_ins
+        if num_cls == 0:
+            return None
+        usable = num_cls * n_ins
+        images = images[:usable].reshape(num_cls, n_ins, *images.shape[1:])
+        label_group = labels[:usable].reshape(num_cls, n_ins)
+        exemplar_label = label_group[:, 0]
+
+        split_point = sample_split_point(self.py_rng, n_ins)
+        self.rng, sub = jax.random.split(self.rng)
+
+        ptok = self.prompt_tokens[jnp.asarray(exemplar_label)]
+        eot = self.eot_idx[jnp.asarray(exemplar_label)]
+        images_dev = jnp.asarray(images, self.dtype)
+
+        self.agg_params, self.opt_state, loss = self.train_step(
+            self.agg_params,
+            self.opt_state,
+            self.clip_params,
+            images_dev,
+            ptok,
+            eot,
+            self.vis_tokens,
+            sub,
+            split_point,
+        )
+        return {"loss": float(loss), "lr": self.lr_table[self.epoch]}
+
+    def save_model(self, epoch):
+        ckpt.save_checkpoint(
+            self.output_dir,
+            "prompt_learner",
+            epoch,
+            self.agg_params,
+            self.opt_state,
+        )
+        ckpt.save_torch_checkpoint(
+            self.output_dir, "prompt_learner", epoch, self.agg_params
+        )
+
+    def load_model(self, directory, epoch=None):
+        if not directory:
+            print("Note that load_model() is skipped as no pretrained model is given")
+            return
+        params, _, ep = ckpt.load_checkpoint(
+            directory, "prompt_learner", self.agg_params, None, epoch=epoch
+        )
+        self.agg_params = jax.tree_util.tree_map(jnp.asarray, params)
+        print(f'Loaded prompt_learner weights from "{directory}" (epoch = {ep})')
+
+    # ---- evaluation -----------------------------------------------------
+    def generate_classifiers(self):
+        """Collect exemplar features from eval_set_loader, then run ONE
+        compiled classifier-generation program over the padded class set
+        (replaces the reference's per-batch scatter loop, ``mm_…:214-292``)."""
+        cfg = self.cfg
+        shots = max(cfg.DATASET.NUM_SHOTS, 1)
+        n_cls = self.n_cls
+        dim = self.clip_cfg.embed_dim
+
+        feats = np.zeros((n_cls, shots, dim), np.float32)
+        filled = np.zeros(n_cls, bool)
+        for batch in self.dm.eval_set_loader:
+            images = batch["img"]
+            labels = batch["label"]
+            usable = (images.shape[0] // shots) * shots
+            if usable == 0:
+                continue
+            f = np.asarray(
+                self._encode_image(
+                    self.clip_params, jnp.asarray(images[:usable], self.dtype)
+                ),
+                np.float32,
+            ).reshape(-1, shots, dim)
+            lab = labels[:usable].reshape(-1, shots)[:, 0]
+            feats[lab] = f
+            filled[lab] = True
+        assert filled.all(), f"classes missing exemplars: {np.where(~filled)[0]}"
+
+        pad_n = pad_to_multiple(n_cls, cfg.TPU.CLASS_PAD_MULTIPLE)
+        pad_feats = np.zeros((pad_n, shots, dim), np.float32)
+        pad_feats[:n_cls] = feats
+        pad_ptok = np.zeros((pad_n, 77), np.int32)
+        pad_ptok[:n_cls] = np.asarray(self.prompt_tokens)
+        pad_ptok[n_cls:] = np.asarray(self.vis_tokens)  # harmless filler rows
+        pad_eot = np.zeros(pad_n, np.int32)
+        pad_eot[:n_cls] = np.asarray(self.eot_idx)
+        pad_eot[n_cls:] = 3
+        mask = np.zeros(pad_n, bool)
+        mask[:n_cls] = True
+
+        t_cls = self._jit_text_classifier(
+            self.clip_params, jnp.asarray(pad_ptok)
+        )
+        out = self._jit_generate(
+            self.clip_params,
+            self.agg_params,
+            jnp.asarray(pad_feats, self.dtype),
+            jnp.asarray(pad_ptok),
+            jnp.asarray(pad_eot),
+            self.vis_tokens,
+            t_cls,
+            jnp.asarray(mask),
+        )
+        out = {k: np.asarray(v, np.float32)[:n_cls] for k, v in out.items()}
+        self.classifiers = out
+        ckpt.export_classifiers_torch(out, self.output_dir)
+        return out
+
+    @property
+    def _jit_text_classifier(self):
+        if not hasattr(self, "_jit_text_classifier_fn"):
+            self._jit_text_classifier_fn = jax.jit(
+                lambda p, tok: ovmr.text_classifier(
+                    p, self.clip_cfg, tok, attn_fn=self.attn_fn
+                )
+            )
+        return self._jit_text_classifier_fn
+
+    @property
+    def _jit_generate(self):
+        if not hasattr(self, "_jit_generate_fn"):
+            tau = float(self.cfg.EVAL_TAU)
+
+            def gen(clip_p, agg_p, feats, ptok, eot, vtok, t_cls, mask):
+                return ovmr.generate_classifiers_from_feats(
+                    clip_p,
+                    self.clip_cfg,
+                    agg_p,
+                    feats,
+                    ptok,
+                    eot,
+                    vtok,
+                    t_cls,
+                    eval_tau=tau,
+                    class_mask=mask,
+                    attn_fn=self.attn_fn,
+                )
+
+            self._jit_generate_fn = jax.jit(gen)
+        return self._jit_generate_fn
+
+    def test(self, split: Optional[str] = None):
+        cfg = self.cfg
+        split = split or cfg.TEST.SPLIT
+        loader = self.dm.test_loader if split == "test" else self.dm.val_loader
+        if self.classifiers is None:
+            self.generate_classifiers()
+
+        logit_scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
+        mode = cfg.EVAL_MODE
+        classifiers_dev = {
+            k: jnp.asarray(v) for k, v in self.classifiers.items()
+        }
+
+        @jax.jit
+        def infer(clip_p, images):
+            feats = l2_normalize(
+                jclip.encode_image(clip_p, self.clip_cfg, images, attn_fn=self.attn_fn)
+            )
+            return ovmr.eval_logits(feats, classifiers_dev, logit_scale, mode)
+
+        self.evaluator.reset()
+        print(f"Evaluate on the *{split}* set (mode={mode})")
+        batch_size = cfg.DATALOADER.TEST.BATCH_SIZE
+        for batch in loader:
+            images = batch["img"]
+            labels = batch["label"]
+            n = images.shape[0]
+            if n < batch_size:  # pad the ragged tail to keep shapes static
+                pad = np.zeros((batch_size - n, *images.shape[1:]), images.dtype)
+                images = np.concatenate([images, pad], 0)
+            probs = np.asarray(infer(self.clip_params, jnp.asarray(images, self.dtype)))
+            self.evaluator.process(probs[:n], labels)
+
+        results = self.evaluator.evaluate()
+        return list(results.values())[0]
