@@ -1,0 +1,293 @@
+"""CoOp trainer with frozen pretrained vokens — OVMR's stage-2 ("OVMR†").
+
+Re-implements the reference ``trainers/coop_mm_classifier.py``:
+
+- learnable context vectors (generic or class-specific), optionally
+  initialized from CTX_INIT words;
+- per-class FROZEN visual tokens loaded from a stage-1 ``visual_tokens.pt``;
+- three prompt variants built by concatenating embeddings
+  (``coop_…:158-219``):
+    mm = [prefix, ctx, vokens, suffix[:-2]]
+    v  = [prefix, ctx, vokens, vis_template[1+n_ctx:-2]]
+    t  = [prefix, ctx, suffix]
+  with EOT gather at ``argmax+2`` for mm/v (the two inserted vokens shift
+  EOT) and ``argmax`` for t;
+- train loss CE(mm)+CE(v)+CE(t), or CE of ONE random prompt when the class
+  count exceeds 400 (``coop_…:317-337``);
+- eval is always preference fusion with tau hard-coded to 10
+  (``coop_…:299``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ovmr_tpu.engine import checkpoint as ckpt
+from ovmr_tpu.engine.optimizers import build_optimizer, set_lr
+from ovmr_tpu.engine.schedule import lr_schedule_from_cfg
+from ovmr_tpu.engine.trainer import (
+    TRAINER_REGISTRY,
+    TrainerBase,
+    _dtype_from_cfg,
+    load_or_init_clip,
+)
+from ovmr_tpu.models import clip as jclip
+from ovmr_tpu.ops.attention import make_attn_fn
+from ovmr_tpu.ops.fusion import fusion_weights_from_f1, multiclass_f1
+from ovmr_tpu.ops.layers import l2_normalize
+from ovmr_tpu.text import get_tokenizer, tokenize
+
+
+@TRAINER_REGISTRY.register()
+class CoOp(TrainerBase):
+    def build_model(self):
+        cfg = self.cfg
+        self.dtype = _dtype_from_cfg(cfg)
+        self.attn_fn = make_attn_fn(
+            cfg.TPU.USE_PALLAS_ATTENTION if jax.default_backend() == "tpu" else False
+        )
+        clip_params, self.clip_cfg = load_or_init_clip(cfg)
+        self.clip_params = jclip.cast_params(
+            jax.tree_util.tree_map(jnp.asarray, clip_params), self.dtype
+        )
+        dim = self.clip_cfg.transformer_width
+
+        classnames = [c.replace("_", " ") for c in self.dm.dataset.classnames]
+        self.n_cls = len(classnames)
+        n_ctx = cfg.TRAINER.COOP.N_CTX
+        ctx_init = cfg.TRAINER.COOP.CTX_INIT
+
+        key = jax.random.PRNGKey(max(cfg.SEED, 0))
+        if ctx_init:
+            ctx_init = ctx_init.replace("_", " ").strip()
+            n_ctx = len(ctx_init.split(" "))
+            init_tokens = jnp.asarray(tokenize([ctx_init]))
+            emb = jclip.embed_tokens(self.clip_params, init_tokens)
+            ctx = emb[0, 1 : 1 + n_ctx, :].astype(jnp.float32)
+            prompt_prefix = ctx_init
+        else:
+            shape = (self.n_cls, n_ctx, dim) if cfg.TRAINER.COOP.CSC else (n_ctx, dim)
+            ctx = 0.02 * jax.random.normal(key, shape, jnp.float32)
+            prompt_prefix = " ".join(["X"] * n_ctx)
+        self.n_ctx = n_ctx
+        print(f'Initial context: "{prompt_prefix}" (n_ctx={n_ctx})')
+
+        prompts = [f"{prompt_prefix} {name}." for name in classnames]
+        tokenized = tokenize(prompts)
+        self.tokenized_prompts = tokenized
+        self.eot_idx = jnp.asarray(tokenized.argmax(-1).astype(np.int32))
+        emb = jclip.embed_tokens(self.clip_params, jnp.asarray(tokenized))
+        self.token_prefix = emb[:, :1, :]
+        self.token_suffix = emb[:, 1 + n_ctx :, :]
+
+        vis_tokenized = tokenize([f"{prompt_prefix}."])
+        vis_emb = jclip.embed_tokens(self.clip_params, jnp.asarray(vis_tokenized))
+        # tail of the visual template after [SOT, ctx...]: [".", EOT, pad...]
+        self.vis_tail = vis_emb[:, 1 + n_ctx : vis_emb.shape[1] - 2, :]
+
+        # frozen stage-1 vokens
+        vt_path = cfg.TRAINER.COOP.VISUAL_TOKEN_PATH
+        if vt_path:
+            import torch
+
+            vt = torch.load(vt_path, map_location="cpu", weights_only=False)[
+                "visual_tokens"
+            ]
+            self.visual_tokens = jnp.asarray(np.asarray(vt.float()))
+        else:
+            print("WARNING: no VISUAL_TOKEN_PATH; using zero vokens (CoOp-only mode)")
+            self.visual_tokens = jnp.zeros((self.n_cls, 2, dim), jnp.float32)
+        self.voken_len = int(self.visual_tokens.shape[1])
+
+        self.params = {"ctx": ctx}
+        self.optimizer = build_optimizer(cfg.OPTIM)
+        self.opt_state = self.optimizer.init(self.params)
+        self.lr_table = lr_schedule_from_cfg(cfg.OPTIM)
+        self.rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 7)
+        self.py_rng = np.random.default_rng(max(cfg.SEED, 0))
+        self.classifiers = None
+        self._build_steps()
+
+        if cfg.RESUME:
+            self.params, self.opt_state, self.start_epoch = (
+                ckpt.resume_from_checkpoint(
+                    cfg.RESUME, "prompt_learner", self.params, self.opt_state
+                )
+            )
+
+    # ------------------------------------------------------------------
+    def _expand_ctx(self, ctx):
+        if ctx.ndim == 2:
+            ctx = jnp.broadcast_to(ctx[None], (self.n_cls,) + ctx.shape)
+        return ctx.astype(self.dtype)
+
+    def _build_prompts(self, params):
+        """Returns (mm, v, t) prompt embedding tensors, each [n_cls, 77, D]."""
+        ctx = self._expand_ctx(params["ctx"])
+        prefix = self.token_prefix.astype(self.dtype)
+        suffix = self.token_suffix.astype(self.dtype)
+        vokens = self.visual_tokens.astype(self.dtype)
+        vis_tail = jnp.broadcast_to(
+            self.vis_tail.astype(self.dtype),
+            (self.n_cls,) + self.vis_tail.shape[1:],
+        )
+        mm = jnp.concatenate([prefix, ctx, vokens, suffix[:, :-2]], axis=1)
+        v = jnp.concatenate([prefix, ctx, vokens, vis_tail], axis=1)
+        t = jnp.concatenate([prefix, ctx, suffix], axis=1)
+        return mm, v, t
+
+    def _text_features(self, params):
+        mm, v, t = self._build_prompts(params)
+        enc = partial(
+            jclip.encode_text_embeds, self.clip_params, self.clip_cfg,
+            attn_fn=self.attn_fn,
+        )
+        shift = self.voken_len
+        mm_f = l2_normalize(enc(mm, self.eot_idx + shift))
+        v_f = l2_normalize(enc(v, self.eot_idx + shift))
+        t_f = l2_normalize(enc(t, self.eot_idx))
+        return mm_f, v_f, t_f
+
+    def _build_steps(self):
+        optimizer = self.optimizer
+        ce = optax.softmax_cross_entropy_with_integer_labels
+        big = self.n_cls > 400
+
+        @partial(jax.jit, static_argnames=("prompt_ind",))
+        def step(params, opt_state, clip_params, images, labels, prompt_ind):
+            feats = l2_normalize(
+                jclip.encode_image(
+                    clip_params, self.clip_cfg, images, attn_fn=self.attn_fn
+                )
+            ).astype(jnp.float32)
+            scale = jnp.exp(clip_params["logit_scale"]).astype(jnp.float32)
+
+            def loss_fn(p):
+                mm_f, v_f, t_f = self._text_features(p)
+                fs = [mm_f, v_f, t_f]
+                if big:
+                    f = fs[prompt_ind]
+                    return ce(scale * feats @ f.astype(jnp.float32).T, labels).mean()
+                total = 0.0
+                for f in fs:
+                    total = total + ce(
+                        scale * feats @ f.astype(jnp.float32).T, labels
+                    ).mean()
+                return total
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_state, loss
+
+        self._step = step
+        self._jit_text_features = jax.jit(self._text_features)
+        self._jit_encode = jax.jit(
+            lambda p, x: l2_normalize(
+                jclip.encode_image(p, self.clip_cfg, x, attn_fn=self.attn_fn)
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def before_epoch(self):
+        self.opt_state = set_lr(self.opt_state, self.lr_table[self.epoch])
+
+    def forward_backward(self, batch):
+        images = jnp.asarray(batch["img"], self.dtype)
+        labels = jnp.asarray(batch["label"].astype(np.int32))
+        prompt_ind = int(self.py_rng.integers(0, 3)) if self.n_cls > 400 else 0
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, self.clip_params, images, labels, prompt_ind
+        )
+        return {"loss": float(loss), "lr": self.lr_table[self.epoch]}
+
+    def save_model(self, epoch):
+        ckpt.save_checkpoint(
+            self.output_dir, "prompt_learner", epoch, self.params, self.opt_state
+        )
+
+    def load_model(self, directory, epoch=None):
+        if not directory:
+            return
+        params, _, ep = ckpt.load_checkpoint(
+            directory, "prompt_learner", self.params, None, epoch=epoch
+        )
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        print(f'Loaded ctx vectors from "{directory}" (epoch = {ep})')
+
+    # ------------------------------------------------------------------
+    def get_fusion_weight(self, mm_f, v_f, t_f):
+        """Per-class F1 on the exemplar set -> softmax(10 * F1)
+        (reference ``coop_…:235-305``; tau hard-coded 10)."""
+        cfg = self.cfg
+        shots = cfg.DATALOADER.TEST.N_INS
+        dim = self.clip_cfg.embed_dim
+        feats = np.zeros((self.n_cls, shots, dim), np.float32)
+        for batch in self.dm.eval_set_loader:
+            images, labels = batch["img"], batch["label"]
+            usable = (images.shape[0] // shots) * shots
+            if usable == 0:
+                continue
+            f = np.asarray(
+                self._jit_encode(self.clip_params, jnp.asarray(images[:usable], self.dtype)),
+                np.float32,
+            ).reshape(-1, shots, dim)
+            feats[labels[:usable].reshape(-1, shots)[:, 0]] = f
+
+        scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
+        flat = feats.reshape(-1, dim)
+        labels = np.repeat(np.arange(self.n_cls), shots)
+        f1s = []
+        for cls in (mm_f, v_f, t_f):
+            logits = scale * flat @ np.asarray(cls, np.float32).T
+            f1s.append(
+                np.asarray(
+                    multiclass_f1(jnp.asarray(logits), jnp.asarray(labels), self.n_cls)
+                )
+            )
+        return np.asarray(
+            fusion_weights_from_f1(
+                jnp.asarray(f1s[0]), jnp.asarray(f1s[1]), jnp.asarray(f1s[2]), 10.0
+            )
+        )
+
+    def test(self, split: Optional[str] = None):
+        cfg = self.cfg
+        split = split or cfg.TEST.SPLIT
+        loader = self.dm.test_loader if split == "test" else self.dm.val_loader
+
+        mm_f, v_f, t_f = (np.asarray(f, np.float32) for f in self._jit_text_features(self.params))
+        fusion_weight = self.get_fusion_weight(mm_f, v_f, t_f)
+        scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
+
+        mm_d, v_d, t_d, fw_d = (jnp.asarray(a) for a in (mm_f, v_f, t_f, fusion_weight))
+
+        @jax.jit
+        def infer(p, images):
+            feats = l2_normalize(
+                jclip.encode_image(p, self.clip_cfg, images, attn_fn=self.attn_fn)
+            ).astype(jnp.float32)
+            pm = jax.nn.softmax(scale * feats @ mm_d.T, -1)
+            pv = jax.nn.softmax(scale * feats @ v_d.T, -1)
+            pt = jax.nn.softmax(scale * feats @ t_d.T, -1)
+            three = jnp.stack([pm, pv, pt], -1)
+            return jnp.sum(three * fw_d[None], -1)
+
+        self.evaluator.reset()
+        print(f"Evaluate on the *{split}* set (CoOp fusion)")
+        batch_size = cfg.DATALOADER.TEST.BATCH_SIZE
+        for batch in loader:
+            images, labels = batch["img"], batch["label"]
+            n = images.shape[0]
+            if n < batch_size:
+                pad = np.zeros((batch_size - n, *images.shape[1:]), images.dtype)
+                images = np.concatenate([images, pad], 0)
+            probs = np.asarray(infer(self.clip_params, jnp.asarray(images, self.dtype)))
+            self.evaluator.process(probs[:n], labels)
+        results = self.evaluator.evaluate()
+        return list(results.values())[0]

@@ -1,0 +1,107 @@
+"""Zero-shot CLIP trainers.
+
+Re-implements the reference ``trainers/zsclip.py`` (which is broken in the
+snapshot — it imports a missing module — but is part of the paper baseline):
+
+- ZeroshotCLIP: per-dataset hand-crafted prompt template
+  (``CUSTOM_TEMPLATES``), one text feature per class;
+- ZeroshotCLIP2: 80-template prompt ensembling — features averaged over
+  templates THEN normalized (reference ``zsclip.py:63-99``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ovmr_tpu.engine.trainer import TRAINER_REGISTRY, TrainerBase, load_or_init_clip, _dtype_from_cfg
+from ovmr_tpu.models import clip as jclip
+from ovmr_tpu.ops.attention import make_attn_fn
+from ovmr_tpu.ops.layers import l2_normalize
+from ovmr_tpu.text import CUSTOM_TEMPLATES, IMAGENET_TEMPLATES_SELECT, tokenize
+
+
+@TRAINER_REGISTRY.register()
+class ZeroshotCLIP(TrainerBase):
+    templates: Optional[list] = None  # None -> the per-dataset CUSTOM template
+
+    def build_model(self):
+        cfg = self.cfg
+        self.dtype = _dtype_from_cfg(cfg)
+        self.attn_fn = make_attn_fn(
+            cfg.TPU.USE_PALLAS_ATTENTION if jax.default_backend() == "tpu" else False
+        )
+        clip_params, self.clip_cfg = load_or_init_clip(cfg)
+        self.clip_params = jclip.cast_params(
+            jax.tree_util.tree_map(jnp.asarray, clip_params), self.dtype
+        )
+
+        classnames = [c.replace("_", " ") for c in self.dm.dataset.classnames]
+        if type(self).templates is None:
+            template = CUSTOM_TEMPLATES.get(cfg.DATASET.NAME, "a photo of a {}.")
+            templates = [template]
+        else:
+            templates = list(type(self).templates)
+
+        encode = jax.jit(
+            lambda p, t: jclip.encode_text(p, self.clip_cfg, t, attn_fn=self.attn_fn)
+        )
+        feats_sum = None
+        for template in templates:
+            tokens = jnp.asarray(tokenize([template.format(c) for c in classnames]))
+            f = encode(self.clip_params, tokens).astype(jnp.float32)
+            f = l2_normalize(f)
+            feats_sum = f if feats_sum is None else feats_sum + f
+        self.text_classifier = np.asarray(l2_normalize(feats_sum / len(templates)))
+
+    def train(self):
+        print("ZeroshotCLIP has nothing to train; running test()")
+        return self.test()
+
+    def test(self, split: Optional[str] = None):
+        cfg = self.cfg
+        split = split or cfg.TEST.SPLIT
+        loader = self.dm.test_loader if split == "test" else self.dm.val_loader
+        logit_scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
+        cls = jnp.asarray(self.text_classifier)
+
+        @jax.jit
+        def infer(p, images):
+            feats = l2_normalize(
+                jclip.encode_image(p, self.clip_cfg, images, attn_fn=self.attn_fn)
+            ).astype(jnp.float32)
+            return logit_scale * feats @ cls.T
+
+        self.evaluator.reset()
+        print(f"Evaluate on the *{split}* set (zero-shot)")
+        batch_size = cfg.DATALOADER.TEST.BATCH_SIZE
+        for batch in loader:
+            images, labels = batch["img"], batch["label"]
+            n = images.shape[0]
+            if n < batch_size:
+                pad = np.zeros((batch_size - n, *images.shape[1:]), images.dtype)
+                images = np.concatenate([images, pad], 0)
+            logits = np.asarray(infer(self.clip_params, jnp.asarray(images, self.dtype)))
+            self.evaluator.process(logits[:n], labels)
+        results = self.evaluator.evaluate()
+        return list(results.values())[0]
+
+    def load_model(self, directory, epoch=None):
+        pass  # nothing to load
+
+
+@TRAINER_REGISTRY.register()
+class ZeroshotCLIP2(ZeroshotCLIP):
+    """Prompt-ensembling variant: SELECT templates + the dataset template
+    (reference ``zsclip.py:63-99`` adds the custom template to the ensemble)."""
+
+    templates = IMAGENET_TEMPLATES_SELECT
+
+    def build_model(self):
+        # append the dataset-specific template like the reference does
+        ds_template = CUSTOM_TEMPLATES.get(self.cfg.DATASET.NAME, "a photo of a {}.")
+        type(self).templates = list(IMAGENET_TEMPLATES_SELECT) + [ds_template]
+        super().build_model()
