@@ -131,15 +131,39 @@ class TrainerBase:
     def save_model(self, epoch):
         pass
 
+    def init_writer(self):
+        if getattr(self, "_writer", None) is None:
+            from ovmr_tpu.utils.tensorboard import SummaryWriter
+
+            tb_dir = osp.join(self.output_dir, "tensorboard")
+            os.makedirs(tb_dir, exist_ok=True)
+            self._writer = SummaryWriter(tb_dir)
+        return self._writer
+
+    def write_scalar(self, tag, value, global_step):
+        self.init_writer().add_scalar(tag, float(value), global_step)
+
     def train(self):
         self.time_start = time.time()
+        self.init_writer()
+
+        # optional device trace: OVMR_PROFILE_DIR=<dir> captures the first
+        # training epoch with jax.profiler (aux tracing subsystem)
+        profile_dir = os.environ.get("OVMR_PROFILE_DIR")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+
         for self.epoch in range(self.start_epoch, self.max_epoch):
             self.before_epoch()
             self.run_epoch()
             self.after_epoch()
+            if profile_dir and self.epoch == self.start_epoch:
+                jax.profiler.stop_trace()
+                profile_dir = None
         print("Finish training")
         elapsed = round(time.time() - self.time_start)
         print(f"Elapsed: {datetime.timedelta(seconds=elapsed)}")
+        self._writer.flush()
         if not self.cfg.TEST.NO_TEST:
             self.test()
 
@@ -155,6 +179,9 @@ class TrainerBase:
             batch_time.update(time.time() - end)
             if loss_summary:
                 losses.update(loss_summary)
+                global_step = self.epoch * self.num_batches + self.batch_idx
+                for name, value in loss_summary.items():
+                    self.write_scalar(f"train/{name}", value, global_step)
             if (
                 (self.batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
                 or self.num_batches < self.cfg.TRAIN.PRINT_FREQ

@@ -182,34 +182,73 @@ def run_blocks(
     return out
 
 
-def patchify(images: jax.Array, patch: int) -> jax.Array:
-    """NCHW images -> [B, n_patches, 3*p*p] with (c, ph, pw) flattening order
-    (matches torch conv1 weight layout [width, 3, p, p])."""
-    b, c, h, w = images.shape
-    gh, gw = h // patch, w // patch
-    x = images.reshape(b, c, gh, patch, gw, patch)
-    x = x.transpose(0, 2, 4, 1, 3, 5)  # [B, gh, gw, c, p, p]
-    return x.reshape(b, gh * gw, c * patch * patch)
+def padded_len(length: int) -> int:
+    """Tile-aligned sequence length. On TPU the (second-minor) sequence axis
+    must align to hardware tiles: padding 197 -> 256 measured ~3.8x faster
+    MLP matmuls on v5e (ragged lengths force relayouts every block). Short
+    test-scale sequences just round up to the 8-sublane tile."""
+    if length > 96:
+        return ((length + 127) // 128) * 128
+    return ((length + 7) // 8) * 8
+
+
+def vision_pad_mask(real: int, padded: int) -> Optional[jax.Array]:
+    """Additive attention mask for zero-padded vision tokens: real queries
+    never attend to pad keys; pad queries attend only to token 0 (keeps
+    their rows finite so no NaN can leak through later layers)."""
+    if padded == real:
+        return None
+    mask = jnp.zeros((padded, padded), jnp.float32)
+    mask = mask.at[:, real:].set(-jnp.inf)
+    mask = mask.at[real:, 1:].set(-jnp.inf)
+    return mask
+
+
+def patch_embed(images: jax.Array, w: jax.Array, patch: int) -> jax.Array:
+    """NCHW images -> [B, n_patches, width] via a stride-p conv.
+
+    The conv lowering is the fast path on TPU (an explicit 6D
+    reshape/transpose im2col measured 24x slower and pathologically slow to
+    compile). `w` stays in the importer's [3*p*p, width] layout."""
+    width = w.shape[1]
+    kernel = w.T.reshape(width, 3, patch, patch).astype(images.dtype)
+    out = jax.lax.conv_general_dilated(
+        images,
+        kernel,
+        window_strides=(patch, patch),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )  # [B, gh, gw, width]
+    b, gh, gw, _ = out.shape
+    return out.reshape(b, gh * gw, width).astype(images.dtype)
 
 
 def encode_image(
     params: dict, cfg: CLIPConfig, images: jax.Array, attn_fn=attention_xla
 ) -> jax.Array:
-    """ViT forward: patchify -> +cls/pos -> ln_pre -> blocks -> ln_post[0] @ proj.
+    """ViT forward: conv patchify -> +cls/pos -> ln_pre -> blocks (sequence
+    zero-padded to a tile-aligned length with a pad mask) -> ln_post[0] @ proj.
 
     Reference: ``clip/model.py:411-428``. Returns [B, embed_dim].
     """
     v = params["visual"]
     dtype = v["patch_embed_w"].dtype
-    x = patchify(images.astype(dtype), cfg.vision_patch_size)
-    x = jnp.dot(x, v["patch_embed_w"], preferred_element_type=jnp.float32).astype(dtype)
+    x = patch_embed(images.astype(dtype), v["patch_embed_w"], cfg.vision_patch_size)
     cls = jnp.broadcast_to(
         v["class_embedding"].astype(dtype), (x.shape[0], 1, x.shape[-1])
     )
     x = jnp.concatenate([cls, x], axis=1)
     x = x + v["positional_embedding"].astype(dtype)
     x = layer_norm(x, v["ln_pre_scale"], v["ln_pre_bias"])
-    x = run_blocks(x, v["blocks"], cfg.vision_heads, mask=None, attn_fn=attn_fn)
+
+    real = x.shape[1]
+    lp = padded_len(real)
+    if lp != real:
+        x = jnp.pad(x, ((0, 0), (0, lp - real), (0, 0)))
+    mask = vision_pad_mask(real, lp)
+
+    x = run_blocks(x, v["blocks"], cfg.vision_heads, mask=mask, attn_fn=attn_fn)
     pooled = layer_norm(x[:, 0, :], v["ln_post_scale"], v["ln_post_bias"])
     return jnp.dot(
         pooled, v["proj"].astype(dtype), preferred_element_type=jnp.float32
@@ -242,7 +281,14 @@ def encode_text_embeds(
     dtype = embeds.dtype
     length = embeds.shape[1]
     x = embeds + t["positional_embedding"][:length].astype(dtype)
-    mask = causal_mask(length)
+
+    # tile-align the sequence (zero rows; the causal mask already blocks
+    # every real query from the pad keys, which are all "future")
+    lp = padded_len(length)
+    if lp != length:
+        x = jnp.pad(x, ((0, 0), (0, lp - length), (0, 0)))
+    mask = causal_mask(lp)
+
     x = run_blocks(x, t["blocks"], cfg.transformer_heads, mask=mask, attn_fn=attn_fn)
     x = layer_norm(x, t["ln_final_scale"], t["ln_final_bias"])
     pooled = jnp.take_along_axis(
