@@ -357,32 +357,65 @@ class MM_CLS_OP(TrainerBase):
             filled[lab] = True
         assert filled.all(), f"classes missing exemplars: {np.where(~filled)[0]}"
 
-        pad_n = pad_to_multiple(n_cls, cfg.TPU.CLASS_PAD_MULTIPLE)
+        # chunked classifier heads: pad to a multiple of the chunk size and
+        # run one compiled program per chunk (bounds text-tower activations
+        # at ImageNet-21k scale); fusion then runs once over the full set
+        chunk = min(
+            int(cfg.TPU.CLASS_CHUNK),
+            pad_to_multiple(n_cls, cfg.TPU.CLASS_PAD_MULTIPLE),
+        )
+        pad_n = pad_to_multiple(n_cls, chunk)
         pad_feats = np.zeros((pad_n, shots, dim), np.float32)
         pad_feats[:n_cls] = feats
-        pad_ptok = np.zeros((pad_n, 77), np.int32)
+        pad_ptok = np.tile(np.asarray(self.vis_tokens), (pad_n, 1)).astype(np.int32)
         pad_ptok[:n_cls] = np.asarray(self.prompt_tokens)
-        pad_ptok[n_cls:] = np.asarray(self.vis_tokens)  # harmless filler rows
-        pad_eot = np.zeros(pad_n, np.int32)
+        pad_eot = np.full(pad_n, 3, np.int32)
         pad_eot[:n_cls] = np.asarray(self.eot_idx)
-        pad_eot[n_cls:] = 3
-        mask = np.zeros(pad_n, bool)
-        mask[:n_cls] = True
 
-        t_cls = self._jit_text_classifier(
-            self.clip_params, jnp.asarray(pad_ptok)
+        mm_parts, v_parts, vt_parts, t_parts = [], [], [], []
+        for start in range(0, pad_n, chunk):
+            sl = slice(start, start + chunk)
+            t_parts.append(
+                self._jit_text_classifier(
+                    self.clip_params, jnp.asarray(pad_ptok[sl])
+                )
+            )
+            mm_c, v_c, vt_c = self._jit_heads(
+                self.clip_params,
+                self.agg_params,
+                jnp.asarray(pad_feats[sl], self.dtype),
+                jnp.asarray(pad_ptok[sl]),
+                jnp.asarray(pad_eot[sl]),
+            )
+            mm_parts.append(mm_c)
+            v_parts.append(v_c)
+            vt_parts.append(vt_c)
+
+        mm_cls = np.concatenate([np.asarray(p, np.float32) for p in mm_parts])[:n_cls]
+        v_cls = np.concatenate([np.asarray(p, np.float32) for p in v_parts])[:n_cls]
+        t_cls = np.concatenate([np.asarray(p, np.float32) for p in t_parts])[:n_cls]
+        vokens = np.concatenate([np.asarray(p, np.float32) for p in vt_parts])[:n_cls]
+
+        logit_scale = np.exp(np.asarray(self.clip_params["logit_scale"], np.float32))
+        fusion_weight = np.asarray(
+            ovmr.fusion_from_classifiers(
+                jnp.asarray(feats),
+                jnp.asarray(mm_cls),
+                jnp.asarray(v_cls),
+                jnp.asarray(t_cls),
+                logit_scale,
+                float(cfg.EVAL_TAU),
+            ),
+            np.float32,
         )
-        out = self._jit_generate(
-            self.clip_params,
-            self.agg_params,
-            jnp.asarray(pad_feats, self.dtype),
-            jnp.asarray(pad_ptok),
-            jnp.asarray(pad_eot),
-            self.vis_tokens,
-            t_cls,
-            jnp.asarray(mask),
-        )
-        out = {k: np.asarray(v, np.float32)[:n_cls] for k, v in out.items()}
+
+        out = {
+            "mm_classifier": mm_cls,
+            "vision_classifier": v_cls,
+            "text_classifier": t_cls,
+            "fusion_weight": fusion_weight,
+            "visual_tokens": vokens,
+        }
         self.classifiers = out
         ckpt.export_classifiers_torch(out, self.output_dir)
         return out
@@ -398,27 +431,31 @@ class MM_CLS_OP(TrainerBase):
         return self._jit_text_classifier_fn
 
     @property
-    def _jit_generate(self):
-        if not hasattr(self, "_jit_generate_fn"):
-            tau = float(self.cfg.EVAL_TAU)
+    def _jit_heads(self):
+        if not hasattr(self, "_jit_heads_fn"):
 
-            def gen(clip_p, agg_p, feats, ptok, eot, vtok, t_cls, mask):
-                return ovmr.generate_classifiers_from_feats(
+            def heads(clip_p, agg_p, feats, ptok, eot):
+                n = feats.shape[0]
+                prompt_embeds = jclip.embed_tokens(clip_p, ptok).astype(feats.dtype)
+                vis_embeds = jnp.broadcast_to(
+                    jclip.embed_tokens(clip_p, self.vis_tokens[None]).astype(
+                        feats.dtype
+                    ),
+                    (n, self.vis_tokens.shape[0], feats.shape[-1]),
+                )
+                return ovmr.classifier_heads(
                     clip_p,
                     self.clip_cfg,
                     agg_p,
                     feats,
-                    ptok,
+                    prompt_embeds,
+                    vis_embeds,
                     eot,
-                    vtok,
-                    t_cls,
-                    eval_tau=tau,
-                    class_mask=mask,
                     attn_fn=self.attn_fn,
                 )
 
-            self._jit_generate_fn = jax.jit(gen)
-        return self._jit_generate_fn
+            self._jit_heads_fn = jax.jit(heads)
+        return self._jit_heads_fn
 
     def test(self, split: Optional[str] = None):
         cfg = self.cfg

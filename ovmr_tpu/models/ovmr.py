@@ -225,6 +225,37 @@ def generate_classifiers_from_feats(
     }
 
 
+def fusion_from_classifiers(
+    exemplar_feats: jax.Array,
+    mm_cls: jax.Array,
+    v_cls: jax.Array,
+    t_cls: jax.Array,
+    logit_scale: jax.Array,
+    eval_tau: float,
+    class_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Preference-fusion weights from precomputed classifiers: per-class F1
+    of each classifier on the exemplars -> softmax(tau * F1) [N, 3].
+    Factored out of :func:`generate_classifiers_from_feats` so classifier
+    heads can be computed in class chunks at 21k scale while fusion runs
+    once over the full set."""
+    n, k, d = exemplar_feats.shape
+    flat = exemplar_feats.reshape(n * k, d).astype(jnp.float32)
+    labels = jnp.repeat(jnp.arange(n), k)
+    scale = jnp.asarray(logit_scale, jnp.float32)
+
+    def cls_logits(cls_matrix):
+        logits = scale * flat @ cls_matrix.astype(jnp.float32).T
+        if class_mask is not None:
+            logits = jnp.where(class_mask[None, :], logits, -jnp.inf)
+        return logits
+
+    f1_mm = multiclass_f1(cls_logits(mm_cls), labels, n)
+    f1_v = multiclass_f1(cls_logits(v_cls), labels, n)
+    f1_t = multiclass_f1(cls_logits(t_cls), labels, n)
+    return fusion_weights_from_f1(f1_mm, f1_v, f1_t, eval_tau)
+
+
 def eval_logits(
     image_feats: jax.Array,
     classifiers: dict,

@@ -177,6 +177,9 @@ def get_cfg_default() -> CfgNode:
     c.TPU.MESH.MODEL = 1
     # pad per-dataset class counts up to multiples of this for static shapes
     c.TPU.CLASS_PAD_MULTIPLE = 8
+    # classifier generation processes classes in chunks of this size when the
+    # class count exceeds it (bounds text-tower activation memory at 21k scale)
+    c.TPU.CLASS_CHUNK = 1024
     # use the Pallas fused attention kernel (falls back to XLA otherwise)
     c.TPU.USE_PALLAS_ATTENTION = True
 
