@@ -40,6 +40,7 @@ class HostDataLoader:
         seed: int = 0,
         num_workers: int = 8,
         drop_last: bool = False,
+        k_transforms: int = 1,
     ):
         self.data_source = data_source
         self.sampler = sampler
@@ -47,6 +48,10 @@ class HostDataLoader:
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
+        # K>1 applies the (stochastic) transform K times per image and emits
+        # the variants adjacently: img [B*K, ...], label repeated K times
+        # (reference K_TRANSFORMS, ``data_manager.py:334-344``)
+        self.k_transforms = max(1, k_transforms)
         self._epoch = 0
         self._seed = seed
 
@@ -60,10 +65,11 @@ class HostDataLoader:
     def _load_one(self, idx: int):
         item = self.data_source[idx]
         img = read_image(item.impath)
-        arr = self.transform(img) if self.transform is not None else (
-            np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
-        )
-        return arr, item.label, item.impath
+        if self.transform is None:
+            arrs = [np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0]
+        else:
+            arrs = [self.transform(img) for _ in range(self.k_transforms)]
+        return arrs, item.label, item.impath
 
     def __iter__(self) -> Iterator[Dict]:
         rng = np.random.default_rng(self._seed + self._epoch)
@@ -76,13 +82,18 @@ class HostDataLoader:
                 if self.drop_last and len(batch_idx) < self.batch_size:
                     break
                 results = list(pool.map(self._load_one, batch_idx))
-                imgs = np.stack([r[0] for r in results]).astype(np.float32)
-                labels = np.asarray([r[1] for r in results], np.int32)
+                k = len(results[0][0])
+                imgs = np.stack(
+                    [arr for r in results for arr in r[0]]
+                ).astype(np.float32)
+                labels = np.repeat(
+                    np.asarray([r[1] for r in results], np.int32), k
+                )
                 yield {
                     "img": imgs,
                     "label": labels,
-                    "impath": [r[2] for r in results],
-                    "index": np.asarray(batch_idx, np.int64),
+                    "impath": [r[2] for r in results for _ in range(k)],
+                    "index": np.repeat(np.asarray(batch_idx, np.int64), k),
                 }
 
 
@@ -110,6 +121,7 @@ class DataManager:
             cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
             seed=seed,
             num_workers=nw,
+            k_transforms=cfg.DATALOADER.K_TRANSFORMS,
         ) if ds.train_x else None
 
         self.val_loader = HostDataLoader(

@@ -275,7 +275,9 @@ class MM_CLS_OP(TrainerBase):
 
     def forward_backward(self, batch):
         cfg = self.cfg
-        n_ins = cfg.DATALOADER.TRAIN_X.N_INS
+        # K_TRANSFORMS>1 expands every instance into K adjacent augmented
+        # copies, scaling the per-class group size
+        n_ins = cfg.DATALOADER.TRAIN_X.N_INS * max(cfg.DATALOADER.K_TRANSFORMS, 1)
         images = batch["img"]
         labels = batch["label"]
         num_cls = images.shape[0] // n_ins
