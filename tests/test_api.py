@@ -1,0 +1,41 @@
+"""High-level API: generate classifiers from raw exemplar images, classify,
+export and reload the torch artifact."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ovmr_tpu.api import OVMRGenerator, load_exported_classifiers
+from ovmr_tpu.models import clip as jclip
+from ovmr_tpu.models.aggregator import init_aggregator
+
+
+@pytest.fixture(scope="module")
+def gen():
+    cfg = jclip.TINY
+    key = jax.random.PRNGKey(0)
+    clip_params = jclip.init_params(key, cfg)
+    agg_params = init_aggregator(key, width=cfg.embed_dim, layers=2, n_ctx=2)
+    return OVMRGenerator(clip_params, cfg, agg_params, dtype=jnp.float32)
+
+
+def test_generate_and_classify(gen, tmp_path):
+    rng = np.random.RandomState(0)
+    classnames = ["red circle", "green square", "blue triangle"]
+    exemplars = rng.rand(3, 4, 3, 32, 32).astype(np.float32)
+    out = gen.generate(classnames, exemplars)
+    assert out["mm_classifier"].shape == (3, gen.clip_cfg.embed_dim)
+    assert out["fusion_weight"].shape == (3, 3)
+
+    queries = rng.rand(5, 3, 32, 32).astype(np.float32)
+    for mode in ("text", "vision", "multimodal", "fusion"):
+        probs = gen.classify(queries, out, mode=mode)
+        assert probs.shape == (5, 3)
+
+    gen.export(out, str(tmp_path))
+    loaded = load_exported_classifiers(str(tmp_path / "mm_classifiers.pt"))
+    np.testing.assert_allclose(
+        loaded["mm_classifier"], out["mm_classifier"], atol=1e-6
+    )
