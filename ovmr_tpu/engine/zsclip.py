@@ -26,7 +26,9 @@ from ovmr_tpu.text import CUSTOM_TEMPLATES, IMAGENET_TEMPLATES_SELECT, tokenize
 
 @TRAINER_REGISTRY.register()
 class ZeroshotCLIP(TrainerBase):
-    templates: Optional[list] = None  # None -> the per-dataset CUSTOM template
+    def get_templates(self):
+        template = CUSTOM_TEMPLATES.get(self.cfg.DATASET.NAME, "a photo of a {}.")
+        return [template]
 
     def build_model(self):
         cfg = self.cfg
@@ -40,11 +42,7 @@ class ZeroshotCLIP(TrainerBase):
         )
 
         classnames = [c.replace("_", " ") for c in self.dm.dataset.classnames]
-        if type(self).templates is None:
-            template = CUSTOM_TEMPLATES.get(cfg.DATASET.NAME, "a photo of a {}.")
-            templates = [template]
-        else:
-            templates = list(type(self).templates)
+        templates = self.get_templates()
 
         encode = jax.jit(
             lambda p, t: jclip.encode_text(p, self.clip_cfg, t, attn_fn=self.attn_fn)
@@ -98,10 +96,6 @@ class ZeroshotCLIP2(ZeroshotCLIP):
     """Prompt-ensembling variant: SELECT templates + the dataset template
     (reference ``zsclip.py:63-99`` adds the custom template to the ensemble)."""
 
-    templates = IMAGENET_TEMPLATES_SELECT
-
-    def build_model(self):
-        # append the dataset-specific template like the reference does
+    def get_templates(self):
         ds_template = CUSTOM_TEMPLATES.get(self.cfg.DATASET.NAME, "a photo of a {}.")
-        type(self).templates = list(IMAGENET_TEMPLATES_SELECT) + [ds_template]
-        super().build_model()
+        return list(IMAGENET_TEMPLATES_SELECT) + [ds_template]
