@@ -38,9 +38,9 @@ from ovmr_tpu.ops.layers import (
 @dataclasses.dataclass(frozen=True)
 class CLIPConfig:
     embed_dim: int = 512
-    # vision
+    # vision: int layer count = ViT; 4-tuple of stage depths = ModifiedResNet
     image_resolution: int = 224
-    vision_layers: int = 12
+    vision_layers: object = 12
     vision_width: int = 768
     vision_patch_size: int = 16
     # text
@@ -51,7 +51,14 @@ class CLIPConfig:
     transformer_layers: int = 12
 
     @property
+    def is_resnet(self) -> bool:
+        return isinstance(self.vision_layers, tuple)
+
+    @property
     def vision_heads(self) -> int:
+        if self.is_resnet:
+            # reference: vision_heads = vision_width * 32 // 64
+            return self.vision_width * 32 // 64
         return self.vision_width // 64
 
     @property
@@ -229,11 +236,16 @@ def patch_embed(images: jax.Array, w: jax.Array, patch: int) -> jax.Array:
 def encode_image(
     params: dict, cfg: CLIPConfig, images: jax.Array, attn_fn=attention_xla
 ) -> jax.Array:
-    """ViT forward: conv patchify -> +cls/pos -> ln_pre -> blocks (sequence
-    zero-padded to a tile-aligned length with a pad mask) -> ln_post[0] @ proj.
-
-    Reference: ``clip/model.py:411-428``. Returns [B, embed_dim].
+    """Image tower forward. ViT: conv patchify -> +cls/pos -> ln_pre ->
+    blocks (optionally tile-padded sequence) -> ln_post[0] @ proj
+    (reference ``clip/model.py:411-428``). ResNet backbones dispatch to
+    :mod:`ovmr_tpu.models.resnet`. Returns [B, embed_dim].
     """
+    if cfg.is_resnet:
+        from ovmr_tpu.models.resnet import encode_image_resnet
+
+        return encode_image_resnet(params, images, cfg.vision_heads)
+
     v = params["visual"]
     dtype = v["patch_embed_w"].dtype
     x = patch_embed(images.astype(dtype), v["patch_embed_w"], cfg.vision_patch_size)

@@ -38,18 +38,31 @@ def load_torch_file(path: str) -> Dict:
 
 def clip_config_from_state_dict(sd: Dict) -> CLIPConfig:
     """Shape-sniff the architecture (reference ``clip/model.py:899-918``).
-    Only ViT backbones supported; ResNet towers raise."""
-    if "visual.proj" not in sd:
-        raise NotImplementedError(
-            "ResNet CLIP backbones are not supported by the TPU build yet"
+    Handles both ViT and ModifiedResNet towers."""
+    if "visual.proj" in sd:
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        vision_layers = len(
+            [
+                k
+                for k in sd
+                if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")
+            ]
         )
-    vision_width = sd["visual.conv1.weight"].shape[0]
-    vision_layers = len(
-        [k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
-    )
-    vision_patch_size = sd["visual.conv1.weight"].shape[-1]
-    grid_size = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
-    image_resolution = vision_patch_size * grid_size
+        vision_patch_size = sd["visual.conv1.weight"].shape[-1]
+        grid_size = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = vision_patch_size * grid_size
+    else:
+        counts = tuple(
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")})
+            for b in (1, 2, 3, 4)
+        )
+        vision_layers = counts
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        output_width = round(
+            (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5
+        )
+        vision_patch_size = 0
+        image_resolution = output_width * 32
 
     embed_dim = sd["text_projection"].shape[1]
     context_length = sd["positional_embedding"].shape[0]
@@ -113,18 +126,25 @@ def _blocks_from_sd(sd: Dict, prefix: str, n_layers: int) -> Dict[str, np.ndarra
 def clip_params_from_state_dict(sd: Dict) -> Tuple[dict, CLIPConfig]:
     """Full conversion: torch CLIP state_dict -> (param pytree fp32, config)."""
     cfg = clip_config_from_state_dict(sd)
-    conv1 = _t(sd["visual.conv1.weight"])  # [W, 3, p, p]
-    visual = {
-        "patch_embed_w": conv1.reshape(conv1.shape[0], -1).T.copy(),
-        "class_embedding": _t(sd["visual.class_embedding"]),
-        "positional_embedding": _t(sd["visual.positional_embedding"]),
-        "ln_pre_scale": _t(sd["visual.ln_pre.weight"]),
-        "ln_pre_bias": _t(sd["visual.ln_pre.bias"]),
-        "blocks": _blocks_from_sd(sd, "visual.transformer.resblocks", cfg.vision_layers),
-        "ln_post_scale": _t(sd["visual.ln_post.weight"]),
-        "ln_post_bias": _t(sd["visual.ln_post.bias"]),
-        "proj": _t(sd["visual.proj"]),
-    }
+    if cfg.is_resnet:
+        from ovmr_tpu.models.resnet import resnet_visual_from_state_dict
+
+        visual, _ = resnet_visual_from_state_dict(sd, _t)
+    else:
+        conv1 = _t(sd["visual.conv1.weight"])  # [W, 3, p, p]
+        visual = {
+            "patch_embed_w": conv1.reshape(conv1.shape[0], -1).T.copy(),
+            "class_embedding": _t(sd["visual.class_embedding"]),
+            "positional_embedding": _t(sd["visual.positional_embedding"]),
+            "ln_pre_scale": _t(sd["visual.ln_pre.weight"]),
+            "ln_pre_bias": _t(sd["visual.ln_pre.bias"]),
+            "blocks": _blocks_from_sd(
+                sd, "visual.transformer.resblocks", cfg.vision_layers
+            ),
+            "ln_post_scale": _t(sd["visual.ln_post.weight"]),
+            "ln_post_bias": _t(sd["visual.ln_post.bias"]),
+            "proj": _t(sd["visual.proj"]),
+        }
     text = {
         "token_embedding": _t(sd["token_embedding.weight"]),
         "positional_embedding": _t(sd["positional_embedding"]),
