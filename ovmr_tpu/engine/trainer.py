@@ -49,21 +49,12 @@ def build_trainer(cfg):
 
 
 def resolve_clip_checkpoint(backbone_name: str) -> Optional[str]:
-    """Find a local OpenAI CLIP checkpoint for `backbone_name`.
+    """Find a local OpenAI CLIP checkpoint for `backbone_name` via the model
+    zoo ($OVMR_CLIP_CKPT > ~/.cache/clip > sha256-verified download when the
+    environment has network access)."""
+    from ovmr_tpu.models.zoo import resolve
 
-    Search order: $OVMR_CLIP_CKPT, ~/.cache/clip/<canonical filename>.
-    (This environment has no network egress; the reference downloads by URL,
-    ``clip/clip.py:29-70``.)"""
-    env = os.environ.get("OVMR_CLIP_CKPT")
-    if env and osp.exists(env):
-        return env
-    fname = {
-        "ViT-B/16": "ViT-B-16.pt",
-        "ViT-B/32": "ViT-B-32.pt",
-        "ViT-L/14": "ViT-L-14.pt",
-    }.get(backbone_name, backbone_name.replace("/", "-") + ".pt")
-    cache = osp.expanduser(osp.join("~", ".cache", "clip", fname))
-    return cache if osp.exists(cache) else None
+    return resolve(backbone_name)
 
 
 def load_or_init_clip(cfg):
