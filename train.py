@@ -6,6 +6,18 @@ freeze. Importing the trainer/data packages registers everything.
 """
 
 import argparse
+import os
+
+# honor JAX_PLATFORMS explicitly: this environment's sitecustomize selects
+# the TPU platform programmatically, which silently overrides the env var
+_platforms = os.environ.get("JAX_PLATFORMS")
+if _platforms:
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", _platforms)
+    except Exception:
+        pass
 
 from ovmr_tpu.engine import register_all_trainers
 from ovmr_tpu.engine.trainer import build_trainer
