@@ -169,6 +169,13 @@ class TrainerBase:
             loss_summary = self.forward_backward(batch)
             batch_time.update(time.time() - end)
             if loss_summary:
+                # NaN/Inf guard (reference detect_anomaly, trainer.py:236-238)
+                loss_val = loss_summary.get("loss")
+                if loss_val is not None and not np.isfinite(loss_val):
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at epoch {self.epoch} "
+                        f"batch {self.batch_idx}"
+                    )
                 losses.update(loss_summary)
                 global_step = self.epoch * self.num_batches + self.batch_idx
                 for name, value in loss_summary.items():
