@@ -37,13 +37,19 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     dropout: float = 0.1,
     attn_fn=attention_xla,
+    augment: Optional[dict] = None,
 ):
+    """`augment`: when set, the step consumes RAW uint8 class-grouped batches
+    ``[num_cls, n_ins, S, S, 3]`` and runs the full on-device augmentation
+    recipe (:mod:`ovmr_tpu.ops.augment`) inside the same compiled program —
+    one dispatch covers augment + both tower passes + the update."""
+
     @partial(jax.jit, static_argnames=("split_point",))
     def train_step(
         agg_params: dict,
         opt_state,
         clip_params: dict,
-        images: jax.Array,  # [num_cls, n_ins, 3, H, W]
+        images: jax.Array,  # [num_cls, n_ins, 3, H, W] float (or uint8 HWC w/ augment)
         prompt_tokens: jax.Array,  # [num_cls, 77]
         eot_idx: jax.Array,  # [num_cls]
         vis_tokens: jax.Array,  # [77]
@@ -51,6 +57,15 @@ def make_train_step(
         split_point: int,
     ):
         num_cls, n_ins = images.shape[:2]
+
+        if augment is not None:
+            from ovmr_tpu.ops.augment import augment_batch
+
+            rng, aug_rng = jax.random.split(rng)
+            flat_u8 = images.reshape(num_cls * n_ins, *images.shape[2:])
+            flat = augment_batch(flat_u8, aug_rng, **augment)
+            images = flat.reshape(num_cls, n_ins, *flat.shape[1:])
+
         img_shape = images.shape[2:]
         query = images[:, :split_point].reshape(num_cls * split_point, *img_shape)
         exemplar = images[:, split_point:].reshape(

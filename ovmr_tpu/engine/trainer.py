@@ -248,8 +248,29 @@ class MM_CLS_OP(TrainerBase):
         self.opt_state = self.optimizer.init(self.agg_params)
         self.lr_table = lr_schedule_from_cfg(cfg.OPTIM)
 
+        augment = None
+        self._cached_train_loader = None
+        if cfg.TPU.DEVICE_AUGS:
+            augment = dict(
+                out_size=cfg.INPUT.SIZE[0],
+                scale=tuple(cfg.INPUT.RRCROP_SCALE),
+                jitter=(
+                    cfg.INPUT.COLORJITTER_B,
+                    cfg.INPUT.COLORJITTER_C,
+                    cfg.INPUT.COLORJITTER_S,
+                    cfg.INPUT.COLORJITTER_H,
+                ),
+                gn_std=cfg.INPUT.GN_STD if "gaussian_noise" in cfg.INPUT.TRANSFORMS else 0.0,
+                mean=tuple(cfg.INPUT.PIXEL_MEAN),
+                std=tuple(cfg.INPUT.PIXEL_STD),
+                out_dtype=self.dtype,
+            )
         self.train_step = make_train_step(
-            self.clip_cfg, self.optimizer, dropout=0.1, attn_fn=self.attn_fn
+            self.clip_cfg,
+            self.optimizer,
+            dropout=0.1,
+            attn_fn=self.attn_fn,
+            augment=augment,
         )
         self._encode_image = jax.jit(
             lambda p, x: l2_normalize(
@@ -268,6 +289,30 @@ class MM_CLS_OP(TrainerBase):
             )
 
     # ---- training -----------------------------------------------------
+    @property
+    def train_loader(self):
+        if not self.cfg.TPU.DEVICE_AUGS:
+            return self.dm.train_loader_x
+        if self._cached_train_loader is None:
+            from ovmr_tpu.data.cache import CachedClassBatchLoader, ImageArrayCache
+            from ovmr_tpu.data.samplers import build_sampler
+
+            cfg = self.cfg
+            cache = ImageArrayCache(
+                self.dm.dataset.train_x, side=cfg.TPU.CACHE_SIDE
+            )
+            sampler = build_sampler(
+                cfg.DATALOADER.TRAIN_X.SAMPLER,
+                self.dm.dataset.train_x,
+                cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+                cfg.DATALOADER.TRAIN_X.N_INS,
+            )
+            self._cached_train_loader = CachedClassBatchLoader(
+                cache, sampler, cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+                seed=max(cfg.SEED, 0),
+            )
+        return self._cached_train_loader
+
     def before_epoch(self):
         self.opt_state = set_lr(self.opt_state, self.lr_table[self.epoch])
 
@@ -276,7 +321,7 @@ class MM_CLS_OP(TrainerBase):
         # K_TRANSFORMS>1 expands every instance into K adjacent augmented
         # copies, scaling the per-class group size
         n_ins = cfg.DATALOADER.TRAIN_X.N_INS * max(cfg.DATALOADER.K_TRANSFORMS, 1)
-        images = batch["img"]
+        images = batch["img_u8"] if "img_u8" in batch else batch["img"]
         labels = batch["label"]
         num_cls = images.shape[0] // n_ins
         if num_cls == 0:
@@ -291,7 +336,12 @@ class MM_CLS_OP(TrainerBase):
 
         ptok = self.prompt_tokens[jnp.asarray(exemplar_label)]
         eot = self.eot_idx[jnp.asarray(exemplar_label)]
-        images_dev = jnp.asarray(images, self.dtype)
+        # uint8 batches stay uint8 (the step augments + normalizes on device)
+        images_dev = (
+            jnp.asarray(images)
+            if images.dtype == np.uint8
+            else jnp.asarray(images, self.dtype)
+        )
 
         self.agg_params, self.opt_state, loss = self.train_step(
             self.agg_params,

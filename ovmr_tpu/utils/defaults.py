@@ -182,6 +182,12 @@ def get_cfg_default() -> CfgNode:
     c.TPU.CLASS_CHUNK = 1024
     # use the Pallas fused attention kernel (falls back to XLA otherwise)
     c.TPU.USE_PALLAS_ATTENTION = True
+    # training input path: stream decode-once uint8 caches and run the whole
+    # augmentation recipe on device inside the train step (the host PIL
+    # path stays the default for reference-faithful behavior)
+    c.TPU.DEVICE_AUGS = False
+    # cache side for the decode-once store (crop head-room above INPUT.SIZE)
+    c.TPU.CACHE_SIDE = 256
 
     return c
 
