@@ -44,6 +44,8 @@ def make_train_step(
     recipe (:mod:`ovmr_tpu.ops.augment`) inside the same compiled program —
     one dispatch covers augment + both tower passes + the update."""
 
+    # note: no buffer donation — the trainable state is ~25MB and callers
+    # (tests, resume paths) legitimately read pre-step params
     @partial(jax.jit, static_argnames=("split_point",))
     def train_step(
         agg_params: dict,
