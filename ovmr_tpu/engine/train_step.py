@@ -60,13 +60,17 @@ def make_train_step(
     ):
         num_cls, n_ins = images.shape[:2]
 
+        layout = "NCHW"
         if augment is not None:
             from ovmr_tpu.ops.augment import augment_batch
 
             rng, aug_rng = jax.random.split(rng)
             flat_u8 = images.reshape(num_cls * n_ins, *images.shape[2:])
-            flat = augment_batch(flat_u8, aug_rng, **augment)
+            # NHWC end-to-end: augment emits NHWC, the patch conv consumes
+            # it directly — no relayout between the two
+            flat = augment_batch(flat_u8, aug_rng, out_layout="NHWC", **augment)
             images = flat.reshape(num_cls, n_ins, *flat.shape[1:])
+            layout = "NHWC"
 
         img_shape = images.shape[2:]
         query = images[:, :split_point].reshape(num_cls * split_point, *img_shape)
@@ -75,10 +79,14 @@ def make_train_step(
         )
 
         q_feats = l2_normalize(
-            jclip.encode_image(clip_params, clip_cfg, query, attn_fn=attn_fn)
+            jclip.encode_image(
+                clip_params, clip_cfg, query, attn_fn=attn_fn, layout=layout
+            )
         )
         e_feats = l2_normalize(
-            jclip.encode_image(clip_params, clip_cfg, exemplar, attn_fn=attn_fn)
+            jclip.encode_image(
+                clip_params, clip_cfg, exemplar, attn_fn=attn_fn, layout=layout
+            )
         ).reshape(num_cls, n_ins - split_point, -1)
 
         prompt_embeds = jclip.embed_tokens(clip_params, prompt_tokens).astype(

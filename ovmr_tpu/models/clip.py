@@ -213,12 +213,15 @@ def vision_pad_mask(real: int, padded: int) -> Optional[jax.Array]:
     return mask
 
 
-def patch_embed(images: jax.Array, w: jax.Array, patch: int) -> jax.Array:
-    """NCHW images -> [B, n_patches, width] via a stride-p conv.
+def patch_embed(
+    images: jax.Array, w: jax.Array, patch: int, layout: str = "NCHW"
+) -> jax.Array:
+    """Images (NCHW or NHWC) -> [B, n_patches, width] via a stride-p conv.
 
     The conv lowering is the fast path on TPU (an explicit 6D
     reshape/transpose im2col measured 24x slower and pathologically slow to
-    compile). `w` stays in the importer's [3*p*p, width] layout."""
+    compile). `w` stays in the importer's [3*p*p, width] layout. NHWC input
+    skips a relayout when paired with the NHWC augmentation output."""
     width = w.shape[1]
     kernel = w.T.reshape(width, 3, patch, patch).astype(images.dtype)
     out = jax.lax.conv_general_dilated(
@@ -226,7 +229,7 @@ def patch_embed(images: jax.Array, w: jax.Array, patch: int) -> jax.Array:
         kernel,
         window_strides=(patch, patch),
         padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NHWC"),
+        dimension_numbers=(layout, "OIHW", "NHWC"),
         preferred_element_type=jnp.float32,
     )  # [B, gh, gw, width]
     b, gh, gw, _ = out.shape
@@ -234,7 +237,11 @@ def patch_embed(images: jax.Array, w: jax.Array, patch: int) -> jax.Array:
 
 
 def encode_image(
-    params: dict, cfg: CLIPConfig, images: jax.Array, attn_fn=attention_xla
+    params: dict,
+    cfg: CLIPConfig,
+    images: jax.Array,
+    attn_fn=attention_xla,
+    layout: str = "NCHW",
 ) -> jax.Array:
     """Image tower forward. ViT: conv patchify -> +cls/pos -> ln_pre ->
     blocks (optionally tile-padded sequence) -> ln_post[0] @ proj
@@ -244,11 +251,15 @@ def encode_image(
     if cfg.is_resnet:
         from ovmr_tpu.models.resnet import encode_image_resnet
 
+        if layout == "NHWC":
+            images = images.transpose(0, 3, 1, 2)
         return encode_image_resnet(params, images, cfg.vision_heads)
 
     v = params["visual"]
     dtype = v["patch_embed_w"].dtype
-    x = patch_embed(images.astype(dtype), v["patch_embed_w"], cfg.vision_patch_size)
+    x = patch_embed(
+        images.astype(dtype), v["patch_embed_w"], cfg.vision_patch_size, layout
+    )
     cls = jnp.broadcast_to(
         v["class_embedding"].astype(dtype), (x.shape[0], 1, x.shape[-1])
     )

@@ -142,7 +142,7 @@ def _color_jitter(x, rng, b, c, s, h):
 
 @partial(
     jax.jit,
-    static_argnames=("out_size", "scale", "jitter", "gn_std", "out_dtype"),
+    static_argnames=("out_size", "scale", "jitter", "gn_std", "out_dtype", "out_layout"),
 )
 def augment_batch(
     images_u8: jax.Array,
@@ -154,8 +154,11 @@ def augment_batch(
     mean: Sequence[float] = CLIP_MEAN,
     std: Sequence[float] = CLIP_STD,
     out_dtype=jnp.bfloat16,
+    out_layout: str = "NCHW",
 ) -> jax.Array:
-    """uint8 [B, S, S, 3] -> augmented, normalized [B, 3, out, out]."""
+    """uint8 [B, S, S, 3] -> augmented, normalized [B, 3, out, out] (NCHW)
+    or [B, out, out, 3] (NHWC; skips the final relayout — pair with the
+    NHWC encode path)."""
     b, s, _, _ = images_u8.shape
     k_crop, k_flip, k_jit, k_noise, k_noise_p = jax.random.split(rng, 5)
 
@@ -178,4 +181,6 @@ def augment_batch(
         noise = jax.random.normal(k_noise, x.shape) * gn_std
         x = x + jnp.where(apply, noise, 0.0)
 
-    return x.transpose(0, 3, 1, 2).astype(out_dtype)
+    if out_layout == "NCHW":
+        x = x.transpose(0, 3, 1, 2)
+    return x.astype(out_dtype)
