@@ -104,11 +104,62 @@ def fused_attention(
     return out.reshape(b, h, l, d)
 
 
+# --------------------------------------------------------------------------
+# differentiable wrappers: Pallas forward, exact XLA-math backward
+# (Pallas kernels carry no autodiff rule; the text tower is differentiated
+# through during training, so the kernel must expose a VJP)
+# --------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def pallas_attention(q, k, v):
+    return fused_attention(q, k, v, None)
+
+
+def _pa_fwd(q, k, v):
+    return fused_attention(q, k, v, None), (q, k, v)
+
+
+def _pa_bwd(res, g):
+    from ovmr_tpu.ops.layers import attention_xla
+
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, None), q, k, v)
+    return vjp(g)
+
+
+pallas_attention.defvjp(_pa_fwd, _pa_bwd)
+
+
+@jax.custom_vjp
+def pallas_attention_masked(q, k, v, mask):
+    return fused_attention(q, k, v, mask)
+
+
+def _pam_fwd(q, k, v, mask):
+    return fused_attention(q, k, v, mask), (q, k, v, mask)
+
+
+def _pam_bwd(res, g):
+    from ovmr_tpu.ops.layers import attention_xla
+
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_xla(q_, k_, v_, mask), q, k, v
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+pallas_attention_masked.defvjp(_pam_fwd, _pam_bwd)
+
+
 def make_attn_fn(use_pallas: Optional[bool] = None):
     """Pick the attention implementation.
 
     use_pallas=None auto-selects: the Pallas kernel on TPU backends, the XLA
-    path elsewhere (CPU tests, interpret-free).
+    path elsewhere (CPU tests, interpret-free). The Pallas path is fully
+    differentiable (custom VJP recomputes the backward with XLA math).
     """
     from ovmr_tpu.ops.layers import attention_xla
 
@@ -118,6 +169,8 @@ def make_attn_fn(use_pallas: Optional[bool] = None):
         return attention_xla
 
     def attn(q, k, v, mask=None):
-        return fused_attention(q, k, v, mask)
+        if mask is None:
+            return pallas_attention(q, k, v)
+        return pallas_attention_masked(q, k, v, mask)
 
     return attn

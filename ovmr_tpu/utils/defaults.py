@@ -180,8 +180,9 @@ def get_cfg_default() -> CfgNode:
     # classifier generation processes classes in chunks of this size when the
     # class count exceeds it (bounds text-tower activation memory at 21k scale)
     c.TPU.CLASS_CHUNK = 1024
-    # use the Pallas fused attention kernel (falls back to XLA otherwise)
-    c.TPU.USE_PALLAS_ATTENTION = True
+    # use the Pallas fused attention kernel; default off — the XLA path
+    # measured equal-or-faster inside full programs on v5e (docs/DESIGN.md)
+    c.TPU.USE_PALLAS_ATTENTION = False
     # training input path: stream decode-once uint8 caches and run the whole
     # augmentation recipe on device inside the train step (the host PIL
     # path stays the default for reference-faithful behavior)
