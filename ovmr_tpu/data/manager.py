@@ -83,9 +83,9 @@ class HostDataLoader:
                     break
                 results = list(pool.map(self._load_one, batch_idx))
                 k = len(results[0][0])
-                imgs = np.stack(
-                    [arr for r in results for arr in r[0]]
-                ).astype(np.float32)
+                imgs = np.stack([arr for r in results for arr in r[0]])
+                if imgs.dtype != np.uint8:  # uint8 ships as-is (device path)
+                    imgs = imgs.astype(np.float32)
                 labels = np.repeat(
                     np.asarray([r[1] for r in results], np.int32), k
                 )
@@ -103,8 +103,12 @@ class DataManager:
         self.dataset = dataset if dataset is not None else build_dataset(cfg)
 
         tfm_train = build_transform(cfg, is_train=True)
-        tfm_test = build_transform(cfg, is_train=False)
+        # eval transfers ship uint8 by default; on-device normalization is
+        # bit-identical to the host path (see ops/preprocess.normalize_u8)
+        eval_u8 = bool(cfg.get("TPU", {}).get("EVAL_UINT8_TRANSFER", False))
+        tfm_test = build_transform(cfg, is_train=False, uint8=eval_u8)
         self.tfm_train, self.tfm_test = tfm_train, tfm_test
+        self.eval_uint8 = eval_u8
         nw = cfg.DATALOADER.NUM_WORKERS
         seed = max(cfg.SEED, 0)
 

@@ -146,7 +146,9 @@ class Transform:
         return f"Transform({self.description})"
 
 
-def build_transform(cfg, is_train: bool = True, choices=None) -> Transform:
+def build_transform(
+    cfg, is_train: bool = True, choices=None, uint8: bool = False
+) -> Transform:
     if cfg.INPUT.NO_TRANSFORM:
         return None
     choices = list(choices if choices is not None else cfg.INPUT.TRANSFORMS)
@@ -155,6 +157,19 @@ def build_transform(cfg, is_train: bool = True, choices=None) -> Transform:
     mean, std = cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD
 
     if not is_train:
+        if uint8:
+            # geometry only; emits HWC uint8 for on-device normalization
+            # (4x smaller host->device transfers, numerically identical)
+            def test_u8_fn(img: Image.Image) -> np.ndarray:
+                img = resize_smaller_edge(img, max(size), interp)
+                img = center_crop(img, size)
+                arr = np.asarray(img, dtype=np.uint8)
+                if arr.ndim == 2:
+                    arr = np.stack([arr] * 3, axis=-1)
+                return arr
+
+            return Transform(test_u8_fn, f"test resize+crop {size} (uint8)")
+
         def test_fn(img: Image.Image) -> np.ndarray:
             img = resize_smaller_edge(img, max(size), interp)
             img = center_crop(img, size)

@@ -187,10 +187,12 @@ class CoOp(TrainerBase):
 
         self._step = step
         self._jit_text_features = jax.jit(self._text_features)
-        self._jit_encode = jax.jit(
-            lambda p, x: l2_normalize(
-                jclip.encode_image(p, self.clip_cfg, x, attn_fn=self.attn_fn)
-            )
+        from ovmr_tpu.engine.trainer import make_feature_extractor
+
+        self._features = make_feature_extractor(
+            self.clip_cfg, self.attn_fn, self.dtype,
+            self.cfg.INPUT.PIXEL_MEAN, self.cfg.INPUT.PIXEL_STD,
+            self.cfg.DATALOADER.TEST.BATCH_SIZE,
         )
 
     # ------------------------------------------------------------------
@@ -233,10 +235,9 @@ class CoOp(TrainerBase):
             usable = (images.shape[0] // shots) * shots
             if usable == 0:
                 continue
-            f = np.asarray(
-                self._jit_encode(self.clip_params, jnp.asarray(images[:usable], self.dtype)),
-                np.float32,
-            ).reshape(-1, shots, dim)
+            f = self._features(self.clip_params, images[:usable]).reshape(
+                -1, shots, dim
+            )
             feats[labels[:usable].reshape(-1, shots)[:, 0]] = f
 
         scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
@@ -265,29 +266,20 @@ class CoOp(TrainerBase):
         fusion_weight = self.get_fusion_weight(mm_f, v_f, t_f)
         scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
 
-        mm_d, v_d, t_d, fw_d = (jnp.asarray(a) for a in (mm_f, v_f, t_f, fusion_weight))
+        from ovmr_tpu.models.ovmr import eval_logits_np
 
-        @jax.jit
-        def infer(p, images):
-            feats = l2_normalize(
-                jclip.encode_image(p, self.clip_cfg, images, attn_fn=self.attn_fn)
-            ).astype(jnp.float32)
-            pm = jax.nn.softmax(scale * feats @ mm_d.T, -1)
-            pv = jax.nn.softmax(scale * feats @ v_d.T, -1)
-            pt = jax.nn.softmax(scale * feats @ t_d.T, -1)
-            three = jnp.stack([pm, pv, pt], -1)
-            return jnp.sum(three * fw_d[None], -1)
+        classifiers = {
+            "mm_classifier": mm_f,
+            "vision_classifier": v_f,
+            "text_classifier": t_f,
+            "fusion_weight": fusion_weight,
+        }
 
         self.evaluator.reset()
         print(f"Evaluate on the *{split}* set (CoOp fusion)")
-        batch_size = cfg.DATALOADER.TEST.BATCH_SIZE
         for batch in loader:
-            images, labels = batch["img"], batch["label"]
-            n = images.shape[0]
-            if n < batch_size:
-                pad = np.zeros((batch_size - n, *images.shape[1:]), images.dtype)
-                images = np.concatenate([images, pad], 0)
-            probs = np.asarray(infer(self.clip_params, jnp.asarray(images, self.dtype)))
-            self.evaluator.process(probs[:n], labels)
+            feats = self._features(self.clip_params, batch["img"])
+            probs = eval_logits_np(feats, classifiers, scale, "fusion")
+            self.evaluator.process(probs, batch["label"])
         results = self.evaluator.evaluate()
         return list(results.values())[0]

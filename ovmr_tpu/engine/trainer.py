@@ -77,6 +77,49 @@ def load_or_init_clip(cfg):
     return jax.tree_util.tree_map(np.asarray, params), clip_cfg
 
 
+def make_feature_extractor(clip_cfg, attn_fn, dtype, mean, std, batch_size):
+    """Returns encode(clip_params, images_np) -> fp32 unit features [n, D].
+
+    Handles both float CHW and uint8 HWC batches (the latter normalize on
+    device — 4x smaller transfers) and pads ragged tails to `batch_size`
+    so one compiled program serves every batch."""
+    from ovmr_tpu.ops.preprocess import normalize_u8
+
+    mean, std = tuple(mean), tuple(std)
+
+    f32 = jax.jit(
+        lambda p, x: l2_normalize(
+            jclip.encode_image(p, clip_cfg, x, attn_fn=attn_fn)
+        )
+    )
+    u8 = jax.jit(
+        lambda p, x: l2_normalize(
+            jclip.encode_image(
+                p,
+                clip_cfg,
+                normalize_u8(x, mean, std, dtype),
+                attn_fn=attn_fn,
+                layout="NHWC",
+            )
+        )
+    )
+
+    def encode(clip_params, images_np):
+        n = images_np.shape[0]
+        if n < batch_size:
+            pad = np.zeros(
+                (batch_size - n, *images_np.shape[1:]), images_np.dtype
+            )
+            images_np = np.concatenate([images_np, pad], 0)
+        if images_np.dtype == np.uint8:
+            out = u8(clip_params, jnp.asarray(images_np))
+        else:
+            out = f32(clip_params, jnp.asarray(images_np, dtype))
+        return np.asarray(out, np.float32)[:n]
+
+    return encode
+
+
 def _dtype_from_cfg(cfg):
     return {
         "bfloat16": jnp.bfloat16,
@@ -272,10 +315,13 @@ class MM_CLS_OP(TrainerBase):
             attn_fn=self.attn_fn,
             augment=augment,
         )
-        self._encode_image = jax.jit(
-            lambda p, x: l2_normalize(
-                jclip.encode_image(p, self.clip_cfg, x, attn_fn=self.attn_fn)
-            )
+        self._features = make_feature_extractor(
+            self.clip_cfg,
+            self.attn_fn,
+            self.dtype,
+            cfg.INPUT.PIXEL_MEAN,
+            cfg.INPUT.PIXEL_STD,
+            cfg.DATALOADER.TEST.BATCH_SIZE,
         )
         self.rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 1)
         self.py_rng = np.random.default_rng(max(cfg.SEED, 0))
@@ -396,12 +442,9 @@ class MM_CLS_OP(TrainerBase):
             usable = (images.shape[0] // shots) * shots
             if usable == 0:
                 continue
-            f = np.asarray(
-                self._encode_image(
-                    self.clip_params, jnp.asarray(images[:usable], self.dtype)
-                ),
-                np.float32,
-            ).reshape(-1, shots, dim)
+            f = self._features(self.clip_params, images[:usable]).reshape(
+                -1, shots, dim
+            )
             lab = labels[:usable].reshape(-1, shots)[:, 0]
             feats[lab] = f
             filled[lab] = True
@@ -516,29 +559,14 @@ class MM_CLS_OP(TrainerBase):
 
         logit_scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
         mode = cfg.EVAL_MODE
-        classifiers_dev = {
-            k: jnp.asarray(v) for k, v in self.classifiers.items()
-        }
-
-        @jax.jit
-        def infer(clip_p, images):
-            feats = l2_normalize(
-                jclip.encode_image(clip_p, self.clip_cfg, images, attn_fn=self.attn_fn)
-            )
-            return ovmr.eval_logits(feats, classifiers_dev, logit_scale, mode)
 
         self.evaluator.reset()
         print(f"Evaluate on the *{split}* set (mode={mode})")
-        batch_size = cfg.DATALOADER.TEST.BATCH_SIZE
         for batch in loader:
-            images = batch["img"]
-            labels = batch["label"]
-            n = images.shape[0]
-            if n < batch_size:  # pad the ragged tail to keep shapes static
-                pad = np.zeros((batch_size - n, *images.shape[1:]), images.dtype)
-                images = np.concatenate([images, pad], 0)
-            probs = np.asarray(infer(self.clip_params, jnp.asarray(images, self.dtype)))
-            self.evaluator.process(probs[:n], labels)
+            feats = self._features(self.clip_params, batch["img"])
+            # classifier matmul + softmax on host: tiny vs a device dispatch
+            probs = ovmr.eval_logits_np(feats, self.classifiers, logit_scale, mode)
+            self.evaluator.process(probs, batch["label"])
 
         results = self.evaluator.evaluate()
         return list(results.values())[0]

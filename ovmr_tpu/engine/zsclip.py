@@ -60,30 +60,24 @@ class ZeroshotCLIP(TrainerBase):
         return self.test()
 
     def test(self, split: Optional[str] = None):
+        from ovmr_tpu.engine.trainer import make_feature_extractor
+
         cfg = self.cfg
         split = split or cfg.TEST.SPLIT
         loader = self.dm.test_loader if split == "test" else self.dm.val_loader
         logit_scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
-        cls = jnp.asarray(self.text_classifier)
-
-        @jax.jit
-        def infer(p, images):
-            feats = l2_normalize(
-                jclip.encode_image(p, self.clip_cfg, images, attn_fn=self.attn_fn)
-            ).astype(jnp.float32)
-            return logit_scale * feats @ cls.T
+        features = make_feature_extractor(
+            self.clip_cfg, self.attn_fn, self.dtype,
+            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+            cfg.DATALOADER.TEST.BATCH_SIZE,
+        )
 
         self.evaluator.reset()
         print(f"Evaluate on the *{split}* set (zero-shot)")
-        batch_size = cfg.DATALOADER.TEST.BATCH_SIZE
         for batch in loader:
-            images, labels = batch["img"], batch["label"]
-            n = images.shape[0]
-            if n < batch_size:
-                pad = np.zeros((batch_size - n, *images.shape[1:]), images.dtype)
-                images = np.concatenate([images, pad], 0)
-            logits = np.asarray(infer(self.clip_params, jnp.asarray(images, self.dtype)))
-            self.evaluator.process(logits[:n], labels)
+            feats = features(self.clip_params, batch["img"])
+            logits = logit_scale * feats @ self.text_classifier.T
+            self.evaluator.process(logits, batch["label"])
         results = self.evaluator.evaluate()
         return list(results.values())[0]
 

@@ -256,6 +256,43 @@ def fusion_from_classifiers(
     return fusion_weights_from_f1(f1_mm, f1_v, f1_t, eval_tau)
 
 
+def eval_logits_np(
+    image_feats: "np.ndarray",
+    classifiers: dict,
+    logit_scale: float,
+    mode: str,
+) -> "np.ndarray":
+    """Host-side numpy twin of :func:`eval_logits` for [B, D] feature blocks
+    (the per-batch classifier matmul + softmax is tiny; running it on host
+    avoids an extra device dispatch per eval batch)."""
+
+    def probs(cls):
+        logits = float(logit_scale) * image_feats.astype(np.float32) @ np.asarray(
+            cls, np.float32
+        ).T
+        logits -= logits.max(axis=-1, keepdims=True)
+        e = np.exp(logits)
+        return e / e.sum(axis=-1, keepdims=True)
+
+    if mode == "text":
+        return probs(classifiers["text_classifier"])
+    if mode == "vision":
+        return probs(classifiers["vision_classifier"])
+    if mode == "multimodal":
+        return probs(classifiers["mm_classifier"])
+    if mode == "fusion":
+        three = np.stack(
+            [
+                probs(classifiers["mm_classifier"]),
+                probs(classifiers["vision_classifier"]),
+                probs(classifiers["text_classifier"]),
+            ],
+            axis=-1,
+        )
+        return (three * np.asarray(classifiers["fusion_weight"], np.float32)[None]).sum(-1)
+    raise ValueError(f"unknown EVAL_MODE {mode!r}")
+
+
 def eval_logits(
     image_feats: jax.Array,
     classifiers: dict,

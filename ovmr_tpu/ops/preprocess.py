@@ -23,6 +23,21 @@ CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
+@partial(jax.jit, static_argnames=("mean", "std", "out_dtype"))
+def normalize_u8(
+    images_u8: jax.Array,
+    mean: Tuple[float, float, float] = CLIP_MEAN,
+    std: Tuple[float, float, float] = CLIP_STD,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """uint8 [B, H, W, 3] (already resized/cropped on host) -> normalized
+    NHWC float. Lets eval ship uint8 over the host->device link (4x smaller
+    than f32) and is bit-identical to the host ToTensor+Normalize path."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return x.astype(out_dtype)
+
+
 @partial(jax.jit, static_argnames=("size", "method", "out_dtype"))
 def preprocess_batch(
     images_u8: jax.Array,

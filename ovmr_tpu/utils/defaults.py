@@ -189,6 +189,9 @@ def get_cfg_default() -> CfgNode:
     c.TPU.DEVICE_AUGS = False
     # cache side for the decode-once store (crop head-room above INPUT.SIZE)
     c.TPU.CACHE_SIDE = 256
+    # eval batches ship as uint8 and normalize on device (4x smaller
+    # host->device transfers; bit-identical numerics)
+    c.TPU.EVAL_UINT8_TRANSFER = True
 
     return c
 
