@@ -266,6 +266,17 @@ class MM_CLS_OP(TrainerBase):
             jax.tree_util.tree_map(jnp.asarray, clip_params), self.dtype
         )
 
+        if self.clip_cfg.embed_dim != self.clip_cfg.transformer_width:
+            # voken splicing inserts image-space tokens into text embeddings;
+            # it requires embed_dim == transformer_width (true for every ViT
+            # CLIP; ResNet towers have embed_dim 1024 vs width 512 and the
+            # reference would crash the same way — use ViT backbones here)
+            raise ValueError(
+                "MM_CLS_OP requires a backbone with embed_dim == "
+                f"transformer_width (got {self.clip_cfg.embed_dim} vs "
+                f"{self.clip_cfg.transformer_width}); use a ViT backbone"
+            )
+
         classnames = self.dm.dataset.classnames
         self.n_cls = len(classnames)
         self.n_ctx = cfg.TRAINER.COCOOP.N_CTX
