@@ -12,6 +12,14 @@ Usage:
 """
 
 import argparse
+import os as _os
+_p = _os.environ.get("JAX_PLATFORMS")
+if _p:
+    import jax as _jax
+    try:
+        _jax.config.update("jax_platforms", _p)
+    except Exception:
+        pass
 import json
 import os
 import os.path as osp

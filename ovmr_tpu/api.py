@@ -55,9 +55,36 @@ class OVMRGenerator:
         n_ctx: int = 2,
         dtype=jnp.bfloat16,
     ) -> "OVMRGenerator":
+        """`clip_ckpt` is a torch checkpoint path OR a backbone name
+        ("ViT-B/16", "TINY", ...) resolved via the model zoo; unknown /
+        unreachable checkpoints fall back to seeded random towers (smoke
+        mode), matching the trainer's behavior so artifacts interoperate."""
         from ovmr_tpu.models.import_torch import load_clip, load_prompt_learner
 
-        clip_params, clip_cfg = load_clip(osp.expanduser(clip_ckpt))
+        path = osp.expanduser(clip_ckpt)
+        if not osp.exists(path):
+            from ovmr_tpu.models.zoo import resolve
+
+            resolved = resolve(clip_ckpt)
+            if resolved is None:
+                print(
+                    f"WARNING: no local CLIP checkpoint for {clip_ckpt!r}; "
+                    "using RANDOM weights (smoke-run mode)"
+                )
+                clip_cfg = jclip.CONFIGS.get(clip_ckpt, jclip.VIT_B16)
+                clip_params = jclip.init_params(jax.random.PRNGKey(0), clip_cfg)
+                if generator_ckpt:
+                    agg_params, _ = load_prompt_learner(
+                        osp.expanduser(generator_ckpt)
+                    )
+                else:
+                    agg_params = init_aggregator(
+                        jax.random.PRNGKey(0), width=clip_cfg.embed_dim, n_ctx=n_ctx
+                    )
+                return cls(clip_params, clip_cfg, agg_params, dtype=dtype)
+            path = resolved
+
+        clip_params, clip_cfg = load_clip(path)
         if generator_ckpt:
             agg_params, _ = load_prompt_learner(osp.expanduser(generator_ckpt))
         else:

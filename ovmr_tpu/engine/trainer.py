@@ -563,6 +563,12 @@ class MM_CLS_OP(TrainerBase):
 
     def test(self, split: Optional[str] = None):
         cfg = self.cfg
+        if cfg.EVAL_MODE not in ("text", "vision", "multimodal", "fusion"):
+            # validate before the (expensive) classifier generation
+            raise ValueError(
+                f"unknown EVAL_MODE {cfg.EVAL_MODE!r}; expected "
+                "text | vision | multimodal | fusion"
+            )
         split = split or cfg.TEST.SPLIT
         loader = self.dm.test_loader if split == "test" else self.dm.val_loader
         if self.classifiers is None:
