@@ -77,12 +77,15 @@ def load_or_init_clip(cfg):
     return jax.tree_util.tree_map(np.asarray, params), clip_cfg
 
 
-def make_feature_extractor(clip_cfg, attn_fn, dtype, mean, std, batch_size):
+def make_feature_extractor(
+    clip_cfg, attn_fn, dtype, mean, std, batch_size, mesh=None
+):
     """Returns encode(clip_params, images_np) -> fp32 unit features [n, D].
 
     Handles both float CHW and uint8 HWC batches (the latter normalize on
     device — 4x smaller transfers) and pads ragged tails to `batch_size`
-    so one compiled program serves every batch."""
+    so one compiled program serves every batch. With a `mesh`, batches
+    shard over the 'data' axis (embarrassingly parallel encode)."""
     from ovmr_tpu.ops.preprocess import normalize_u8
 
     mean, std = tuple(mean), tuple(std)
@@ -104,6 +107,13 @@ def make_feature_extractor(clip_cfg, attn_fn, dtype, mean, std, batch_size):
         )
     )
 
+    def place(x):
+        if mesh is not None and x.shape[0] % mesh.devices.size == 0:
+            from ovmr_tpu.parallel import shard_batch
+
+            return shard_batch(mesh, x)
+        return x
+
     def encode(clip_params, images_np):
         n = images_np.shape[0]
         if n < batch_size:
@@ -112,9 +122,9 @@ def make_feature_extractor(clip_cfg, attn_fn, dtype, mean, std, batch_size):
             )
             images_np = np.concatenate([images_np, pad], 0)
         if images_np.dtype == np.uint8:
-            out = u8(clip_params, jnp.asarray(images_np))
+            out = u8(clip_params, place(jnp.asarray(images_np)))
         else:
-            out = f32(clip_params, jnp.asarray(images_np, dtype))
+            out = f32(clip_params, place(jnp.asarray(images_np, dtype)))
         return np.asarray(out, np.float32)[:n]
 
     return encode
@@ -326,6 +336,12 @@ class MM_CLS_OP(TrainerBase):
             attn_fn=self.attn_fn,
             augment=augment,
         )
+        # mesh-parallel placement whenever more than one device is visible
+        self.mesh = None
+        if jax.device_count() > 1 and cfg.TPU.MESH.DATA != 1:
+            self.mesh = build_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
+            print(f"Data-parallel mesh: {dict(self.mesh.shape)}")
+
         self._features = make_feature_extractor(
             self.clip_cfg,
             self.attn_fn,
@@ -333,6 +349,7 @@ class MM_CLS_OP(TrainerBase):
             cfg.INPUT.PIXEL_MEAN,
             cfg.INPUT.PIXEL_STD,
             cfg.DATALOADER.TEST.BATCH_SIZE,
+            mesh=self.mesh,
         )
         self.rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 1)
         self.py_rng = np.random.default_rng(max(cfg.SEED, 0))
@@ -399,6 +416,12 @@ class MM_CLS_OP(TrainerBase):
             if images.dtype == np.uint8
             else jnp.asarray(images, self.dtype)
         )
+        if self.mesh is not None and num_cls % self.mesh.devices.size == 0:
+            from ovmr_tpu.parallel import shard_batch
+
+            images_dev = shard_batch(self.mesh, images_dev)
+            ptok = shard_batch(self.mesh, ptok)
+            eot = shard_batch(self.mesh, eot)
 
         self.agg_params, self.opt_state, loss = self.train_step(
             self.agg_params,
