@@ -14,8 +14,6 @@ from __future__ import annotations
 import os
 import os.path as osp
 
-import numpy as np
-
 from ovmr_tpu.utils.tools import listdir_nohidden
 
 from ..datum import DatasetBase, Datum, generate_fewshot_dataset

@@ -9,11 +9,9 @@ from __future__ import annotations
 
 import os.path as osp
 import re
-from collections import OrderedDict, defaultdict
+from collections import defaultdict
 
-from ovmr_tpu.utils.tools import mkdir_if_missing
-
-from ..datum import DatasetBase, Datum, read_split, save_split, subsample_classes
+from ..datum import DatasetBase, Datum, subsample_classes
 from ..registry import DATASET_REGISTRY
 from .common import (
     StandardDataset,

@@ -16,7 +16,7 @@ Loader lineup matches the reference (``data_manager.py:116-246``):
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 

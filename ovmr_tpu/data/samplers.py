@@ -14,7 +14,7 @@ framework and distributionally equivalent (verified by tests):
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

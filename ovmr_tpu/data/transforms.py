@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import Callable, List, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 from PIL import Image, ImageEnhance

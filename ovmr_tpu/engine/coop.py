@@ -41,7 +41,7 @@ from ovmr_tpu.models import clip as jclip
 from ovmr_tpu.ops.attention import make_attn_fn
 from ovmr_tpu.ops.fusion import fusion_weights_from_f1, multiclass_f1
 from ovmr_tpu.ops.layers import l2_normalize
-from ovmr_tpu.text import get_tokenizer, tokenize
+from ovmr_tpu.text import tokenize
 
 
 @TRAINER_REGISTRY.register()

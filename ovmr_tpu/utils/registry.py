@@ -7,7 +7,7 @@ decorator, with duplicate-registration protection and helpful errors.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Callable, Dict, Iterable
 
 
 class Registry:

@@ -8,8 +8,6 @@ when unavailable.
 
 from __future__ import annotations
 
-from typing import Optional
-
 
 class SummaryWriter:
     def __init__(self, log_dir: str):
