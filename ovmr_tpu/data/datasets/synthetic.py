@@ -83,7 +83,15 @@ class Synthetic(DatasetBase):
         test = [d for i, d in enumerate(items) if i % per >= (3 * per) // 4]
 
         if cfg.DATASET.NUM_SHOTS >= 1:
-            train = generate_fewshot_dataset(train, num_shots=cfg.DATASET.NUM_SHOTS)
+            import random as _random
+
+            # seeded few-shot sampling: deterministic per cfg.SEED without
+            # relying on the global RNG state at construction time
+            train = generate_fewshot_dataset(
+                train,
+                num_shots=cfg.DATASET.NUM_SHOTS,
+                rng=_random.Random(max(cfg.SEED, 0)),
+            )
         train, val, test = subsample_classes(
             train, val, test, subsample=cfg.DATASET.SUBSAMPLE_CLASSES
         )
