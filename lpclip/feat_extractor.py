@@ -70,21 +70,19 @@ def main(args):
         jax.tree_util.tree_map(jnp.asarray, clip_params), dtype
     )
     attn_fn = make_attn_fn(jax.default_backend() == "tpu")
-    encode = jax.jit(
-        lambda p, x: jclip.encode_image(p, clip_cfg, x, attn_fn=attn_fn)
+    # handles both float-CHW and uint8-HWC batches (the default eval path
+    # ships uint8 and normalizes on device)
+    from ovmr_tpu.engine.trainer import make_feature_extractor
+
+    encode = make_feature_extractor(
+        clip_cfg, attn_fn, dtype, cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+        loader.batch_size,
+        unit_norm=False,  # the reference dumps raw visual features
     )
 
     feats, labels = [], []
-    bs = loader.batch_size
     for batch in loader:
-        imgs = batch["img"]
-        n = imgs.shape[0]
-        if n < bs:
-            imgs = np.concatenate(
-                [imgs, np.zeros((bs - n, *imgs.shape[1:]), imgs.dtype)], 0
-            )
-        f = np.asarray(encode(clip_params, jnp.asarray(imgs, dtype)), np.float32)
-        feats.append(f[:n])
+        feats.append(encode(clip_params, batch["img"]))
         labels.extend(batch["label"].tolist())
 
     save_dir = os.path.join(cfg.OUTPUT_DIR, cfg.DATASET.NAME)

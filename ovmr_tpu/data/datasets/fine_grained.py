@@ -139,9 +139,10 @@ class SUN397(StandardDataset):
             for line in f:
                 classnames.append(line.strip()[1:])  # remove leading /
         cname2lab = {c: i for i, c in enumerate(classnames)}
-        train = self._read_split_file(cname2lab, "Training_01.txt")
+        trainval = self._read_split_file(cname2lab, "Training_01.txt")
         test = self._read_split_file(cname2lab, "Testing_01.txt")
-        return train, test, test
+        train, val = split_trainval(trainval)
+        return train, val, test
 
     def _read_split_file(self, cname2lab, text_file):
         items = []
@@ -177,9 +178,10 @@ class UCF101(StandardDataset):
             for line in f:
                 label, classname = line.strip().split(" ")
                 cname2lab[classname] = int(label) - 1
-        train = self._read_split_file(cname2lab, "trainlist01.txt")
+        trainval = self._read_split_file(cname2lab, "trainlist01.txt")
         test = self._read_split_file(cname2lab, "testlist01.txt")
-        return train, test, test
+        train, val = split_trainval(trainval)
+        return train, val, test
 
     def _read_split_file(self, cname2lab, text_file):
         items = []

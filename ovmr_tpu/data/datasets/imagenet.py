@@ -148,11 +148,12 @@ class _ImageNetVariant(DatasetBase):
         super().__init__(train_x=data, test=data)
 
     def read_data(self, classnames):
+        # labels enumerate the folders PRESENT (dense 0..n-1) — ImageNet-A/R
+        # ship only 200 of the 1000 classes (reference imagenet_a.py:32-46)
         folders = sorted(f.name for f in os.scandir(self.image_dir) if f.is_dir())
         items = []
-        for folder in folders:
+        for label, folder in enumerate(folders):
             classname = classnames[folder]
-            label = list(classnames).index(folder)
             for imname in listdir_nohidden(osp.join(self.image_dir, folder)):
                 items.append(
                     Datum(

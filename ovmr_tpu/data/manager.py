@@ -16,6 +16,7 @@ Loader lineup matches the reference (``data_manager.py:116-246``):
 from __future__ import annotations
 
 import concurrent.futures as cf
+import random
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -62,11 +63,24 @@ class HostDataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _load_one(self, idx: int):
+    def _load_one(self, idx: int, epoch: int = 0):
         item = self.data_source[idx]
         img = read_image(item.impath)
         if self.transform is None:
             arrs = [np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0]
+        elif getattr(self.transform, "stochastic", False):
+            # per-(seed, epoch, item, k) rng: augmentation draws are
+            # independent of thread-pool execution order
+            arrs = [
+                self.transform(
+                    img,
+                    # tuple-of-ints hash is deterministic across processes
+                    rng=random.Random(
+                        hash((self._seed, epoch, int(idx), k)) & 0xFFFFFFFF
+                    ),
+                )
+                for k in range(self.k_transforms)
+            ]
         else:
             arrs = [self.transform(img) for _ in range(self.k_transforms)]
         return arrs, item.label, item.impath
@@ -81,7 +95,10 @@ class HostDataLoader:
                 batch_idx = indices[start : start + self.batch_size]
                 if self.drop_last and len(batch_idx) < self.batch_size:
                     break
-                results = list(pool.map(self._load_one, batch_idx))
+                epoch = self._epoch - 1
+                results = list(
+                    pool.map(lambda i: self._load_one(i, epoch), batch_idx)
+                )
                 k = len(results[0][0])
                 imgs = np.stack([arr for r in results for arr in r[0]])
                 if imgs.dtype != np.uint8:  # uint8 ships as-is (device path)
@@ -147,23 +164,18 @@ class DataManager:
         ) if ds.test else None
 
         # exemplar loader: class-grouped, NUM_SHOTS instances per class,
-        # test-time transform (is_train=False contract of the reference)
+        # test-time transform (is_train=False contract of the reference).
+        # Batch size rounds DOWN to a whole number of per-class groups so a
+        # batch never splits a class's exemplars (the consumers reshape by
+        # `shots`; a ragged batch would silently mix classes)
+        shots = max(cfg.DATASET.NUM_SHOTS, 1)
+        eval_bs = max(cfg.DATALOADER.TEST.BATCH_SIZE, shots)
+        eval_bs -= eval_bs % shots
         self.eval_set_loader = HostDataLoader(
             ds.eval_set,
-            build_sampler(
-                "RandomClassSampler",
-                ds.eval_set,
-                max(
-                    cfg.DATALOADER.TEST.BATCH_SIZE,
-                    cfg.DATASET.NUM_SHOTS if cfg.DATASET.NUM_SHOTS > 0 else 1,
-                ),
-                max(cfg.DATASET.NUM_SHOTS, 1),
-            ),
+            build_sampler("RandomClassSampler", ds.eval_set, eval_bs, shots),
             tfm_test,
-            max(
-                cfg.DATALOADER.TEST.BATCH_SIZE,
-                cfg.DATASET.NUM_SHOTS if cfg.DATASET.NUM_SHOTS > 0 else 1,
-            ),
+            eval_bs,
             seed=seed,
             num_workers=nw,
         ) if ds.eval_set else None

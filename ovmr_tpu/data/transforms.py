@@ -133,13 +133,20 @@ def color_jitter(
 
 
 class Transform:
-    """A composed image transform: PIL.Image -> CHW float32 numpy."""
+    """A composed image transform: PIL.Image -> CHW float32 numpy.
 
-    def __init__(self, fn: Callable, description: str):
+    Stochastic transforms accept an explicit ``rng`` (a ``random.Random``)
+    so loaders can derive one per (seed, epoch, item) — thread-pool
+    execution order then cannot change the augmentation stream."""
+
+    def __init__(self, fn: Callable, description: str, stochastic: bool = False):
         self.fn = fn
         self.description = description
+        self.stochastic = stochastic
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
+    def __call__(self, img: Image.Image, rng: random.Random = None) -> np.ndarray:
+        if self.stochastic:
+            return self.fn(img, rng if rng is not None else random)
         return self.fn(img)
 
     def __repr__(self):
@@ -189,23 +196,27 @@ def build_transform(
     )
     gn_mean, gn_std = cfg.INPUT.GN_MEAN, cfg.INPUT.GN_STD
 
-    def train_fn(img: Image.Image) -> np.ndarray:
+    def train_fn(img: Image.Image, rng) -> np.ndarray:
         if "random_resized_crop" in choices:
-            img = random_resized_crop(img, size, scale=rrc_scale, interp=interp)
+            img = random_resized_crop(
+                img, size, scale=rrc_scale, interp=interp, rng=rng
+            )
         elif "random_crop" not in choices:
             img = resize_smaller_edge(img, max(size), interp)
             img = center_crop(img, size)
-        if "random_flip" in choices and random.random() < 0.5:
+        if "random_flip" in choices and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if "colorjitter" in choices:
-            img = color_jitter(img, *cj)
+            img = color_jitter(img, *cj, rng=rng)
         arr = to_chw_float(img)
         if "normalize" in choices:
             arr = normalize(arr, mean, std)
-        if "gaussian_noise" in choices and random.random() < 0.5:
+        if "gaussian_noise" in choices and rng.random() < 0.5:
+            noise_rng = np.random.default_rng(rng.getrandbits(32))
             arr = arr + (
-                np.random.randn(*arr.shape).astype(np.float32) * gn_std + gn_mean
+                noise_rng.standard_normal(arr.shape).astype(np.float32) * gn_std
+                + gn_mean
             )
         return arr
 
-    return Transform(train_fn, f"train {choices} {size}")
+    return Transform(train_fn, f"train {choices} {size}", stochastic=True)

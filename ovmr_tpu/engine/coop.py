@@ -225,11 +225,17 @@ class CoOp(TrainerBase):
     # ------------------------------------------------------------------
     def get_fusion_weight(self, mm_f, v_f, t_f):
         """Per-class F1 on the exemplar set -> softmax(10 * F1)
-        (reference ``coop_…:235-305``; tau hard-coded 10)."""
+        (reference ``coop_…:235-305``; tau hard-coded 10).
+
+        Groups by the loader's actual per-class group size (DATASET.NUM_SHOTS,
+        the eval_set_loader contract) rather than the reference's
+        TEST.N_INS — the two are equal in every shipped config, and using
+        the loader's size avoids silently mixing classes when they differ."""
         cfg = self.cfg
-        shots = cfg.DATALOADER.TEST.N_INS
+        shots = max(cfg.DATASET.NUM_SHOTS, 1)
         dim = self.clip_cfg.embed_dim
         feats = np.zeros((self.n_cls, shots, dim), np.float32)
+        filled = np.zeros(self.n_cls, bool)
         for batch in self.dm.eval_set_loader:
             images, labels = batch["img"], batch["label"]
             usable = (images.shape[0] // shots) * shots
@@ -238,7 +244,10 @@ class CoOp(TrainerBase):
             f = self._features(self.clip_params, images[:usable]).reshape(
                 -1, shots, dim
             )
-            feats[labels[:usable].reshape(-1, shots)[:, 0]] = f
+            lab = labels[:usable].reshape(-1, shots)[:, 0]
+            feats[lab] = f
+            filled[lab] = True
+        assert filled.all(), f"classes missing exemplars: {np.where(~filled)[0]}"
 
         scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
         flat = feats.reshape(-1, dim)

@@ -78,9 +78,11 @@ def load_or_init_clip(cfg):
 
 
 def make_feature_extractor(
-    clip_cfg, attn_fn, dtype, mean, std, batch_size, mesh=None
+    clip_cfg, attn_fn, dtype, mean, std, batch_size, mesh=None, unit_norm=True
 ):
-    """Returns encode(clip_params, images_np) -> fp32 unit features [n, D].
+    """Returns encode(clip_params, images_np) -> fp32 features [n, D]
+    (L2-normalized unless unit_norm=False — e.g. the lpclip feature dump
+    matches the reference's raw features).
 
     Handles both float CHW and uint8 HWC batches (the latter normalize on
     device — 4x smaller transfers) and pads ragged tails to `batch_size`
@@ -89,14 +91,15 @@ def make_feature_extractor(
     from ovmr_tpu.ops.preprocess import normalize_u8
 
     mean, std = tuple(mean), tuple(std)
+    post = l2_normalize if unit_norm else (lambda x: x)
 
     f32 = jax.jit(
-        lambda p, x: l2_normalize(
+        lambda p, x: post(
             jclip.encode_image(p, clip_cfg, x, attn_fn=attn_fn)
         )
     )
     u8 = jax.jit(
-        lambda p, x: l2_normalize(
+        lambda p, x: post(
             jclip.encode_image(
                 p,
                 clip_cfg,

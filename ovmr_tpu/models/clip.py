@@ -131,7 +131,7 @@ def _init_blocks(key: jax.Array, n_layers: int, width: int, dtype) -> dict:
 
 
 def init_params(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
-    kv, kt, kvb, ktb, kp, ke, kpe, ktp = jax.random.split(key, 8)
+    (kv, kt, kvb, ktb, kp, ke, kpe, ktp, kte) = jax.random.split(key, 9)
     vw, tw = cfg.vision_width, cfg.transformer_width
     vscale = vw ** -0.5
     normal = jax.random.normal
@@ -152,7 +152,7 @@ def init_params(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
     text = {
         "token_embedding": (normal(ke, (cfg.vocab_size, tw)) * 0.02).astype(dtype),
         "positional_embedding": (
-            normal(kpe, (cfg.context_length, tw)) * 0.01
+            normal(kte, (cfg.context_length, tw)) * 0.01
         ).astype(dtype),
         "blocks": _init_blocks(ktb, cfg.transformer_layers, tw, dtype),
         "ln_final_scale": jnp.ones((tw,), dtype),

@@ -100,9 +100,14 @@ def _bilinear_crop(images_f, x0, y0, cw, ch, out_size):
 
 
 def _color_jitter(x, rng, b, c, s, h):
-    """torchvision-equivalent brightness/contrast/saturation; hue via YIQ
-    rotation. x in [0,1], [B,H,W,3]."""
-    kb, kc, ks, kh, kord = jax.random.split(rng, 5)
+    """torchvision-range brightness/contrast/saturation; hue via YIQ
+    rotation. x in [0,1], [B,H,W,3].
+
+    Deviation from torchvision: ops apply in a FIXED order
+    (brightness->contrast->saturation->hue) instead of a per-image random
+    permutation — per-image op reordering would need 24 traced branches;
+    the distributional difference is limited to clipping interactions."""
+    kb, kc, ks, kh = jax.random.split(rng, 4)
     batch = x.shape[0]
 
     fb = jax.random.uniform(kb, (batch, 1, 1, 1), minval=max(0, 1 - b), maxval=1 + b)

@@ -79,7 +79,9 @@ class CfgNode(dict):
             else:
                 if not allow_new and k not in self:
                     raise KeyError(f"Unknown config key: {k}")
-                self[k] = _coerce(self.get(k), v)
+                # yacs-style literal parsing: yaml reads "(224, 224)" as a
+                # plain string; shipped configs rely on tuple/number syntax
+                self[k] = _coerce(self.get(k), _parse_literal(v))
 
     def merge_from_file(self, path: str, allow_new: bool = True) -> None:
         with open(path, "r") as f:
