@@ -63,20 +63,22 @@ class HostDataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _load_one(self, idx: int, epoch: int = 0):
+    def _load_one(self, idx: int, epoch: int = 0, position: int = 0):
         item = self.data_source[idx]
         img = read_image(item.impath)
         if self.transform is None:
             arrs = [np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0]
         elif getattr(self.transform, "stochastic", False):
-            # per-(seed, epoch, item, k) rng: augmentation draws are
-            # independent of thread-pool execution order
+            # rng derives from the POSITION in the epoch index stream (not
+            # the dataset index): thread-order independent, deterministic
+            # per seed/epoch, and duplicate indices (few-shot classes
+            # resampled with replacement) still get fresh draws
             arrs = [
                 self.transform(
                     img,
                     # tuple-of-ints hash is deterministic across processes
                     rng=random.Random(
-                        hash((self._seed, epoch, int(idx), k)) & 0xFFFFFFFF
+                        hash((self._seed, epoch, int(position), k)) & 0xFFFFFFFF
                     ),
                 )
                 for k in range(self.k_transforms)
@@ -97,7 +99,10 @@ class HostDataLoader:
                     break
                 epoch = self._epoch - 1
                 results = list(
-                    pool.map(lambda i: self._load_one(i, epoch), batch_idx)
+                    pool.map(
+                        lambda args: self._load_one(args[1], epoch, start + args[0]),
+                        enumerate(batch_idx),
+                    )
                 )
                 k = len(results[0][0])
                 imgs = np.stack([arr for r in results for arr in r[0]])

@@ -247,7 +247,10 @@ class CoOp(TrainerBase):
             lab = labels[:usable].reshape(-1, shots)[:, 0]
             feats[lab] = f
             filled[lab] = True
-        assert filled.all(), f"classes missing exemplars: {np.where(~filled)[0]}"
+        if not filled.all():  # not a bare assert: must survive python -O
+            raise RuntimeError(
+                f"classes missing exemplars: {np.where(~filled)[0]}"
+            )
 
         scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
         flat = feats.reshape(-1, dim)

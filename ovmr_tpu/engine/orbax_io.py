@@ -5,10 +5,15 @@ The default checkpoint format is path-flattened npz
 This module offers Orbax as an alternative for very large or sharded states
 (async saves, per-array chunking, multi-host correctness), keeping the same
 (params, opt_state, epoch) contract.
+
+Params and optimizer state live in separate sub-checkpoints so a
+params-only template can restore a checkpoint that was saved with optimizer
+state (inference loads don't need to reconstruct the optax tree).
 """
 
 from __future__ import annotations
 
+import json
 import os.path as osp
 from typing import Any, Optional, Tuple
 
@@ -20,18 +25,19 @@ def _checkpointer():
 
 
 def save_orbax(directory: str, name: str, epoch: int, params, opt_state=None) -> str:
-    """Write ``{directory}/{name}/orbax-{epoch}`` and a pointer file."""
+    """Write ``{directory}/{name}/orbax-{epoch}/{params,opt_state}``."""
     from ovmr_tpu.utils.tools import mkdir_if_missing
 
     subdir = osp.join(osp.abspath(directory), name)
     mkdir_if_missing(subdir)
     path = osp.join(subdir, f"orbax-{epoch}")
-    payload = {"params": params, "epoch": epoch}
-    if opt_state is not None:
-        payload["opt_state"] = opt_state
     ckptr = _checkpointer()
-    ckptr.save(path, payload, force=True)
+    ckptr.save(osp.join(path, "params"), params, force=True)
+    if opt_state is not None:
+        ckptr.save(osp.join(path, "opt_state"), opt_state, force=True)
     ckptr.wait_until_finished()
+    with open(osp.join(path, "meta.json"), "w") as f:
+        json.dump({"epoch": int(epoch), "has_opt_state": opt_state is not None}, f)
     with open(osp.join(subdir, "checkpoint_orbax"), "w") as f:
         f.write(osp.basename(path))
     return path
@@ -53,12 +59,15 @@ def load_orbax(
             raise FileNotFoundError(f"No orbax pointer at {pointer}")
         with open(pointer) as f:
             path = osp.join(subdir, f.read().strip())
-    template = {"params": params_template, "epoch": 0}
-    if opt_state_template is not None:
-        template["opt_state"] = opt_state_template
-    restored = _checkpointer().restore(path, template)
-    return (
-        restored["params"],
-        restored.get("opt_state"),
-        int(restored["epoch"]),
-    )
+    meta_path = osp.join(path, "meta.json")
+    if not osp.exists(meta_path):
+        raise FileNotFoundError(f"No orbax checkpoint at {path}")
+    with open(meta_path) as f:
+        meta = json.load(f)
+
+    ckptr = _checkpointer()
+    params = ckptr.restore(osp.join(path, "params"), params_template)
+    opt_state = None
+    if opt_state_template is not None and meta.get("has_opt_state"):
+        opt_state = ckptr.restore(osp.join(path, "opt_state"), opt_state_template)
+    return params, opt_state, int(meta["epoch"])

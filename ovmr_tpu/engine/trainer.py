@@ -485,7 +485,10 @@ class MM_CLS_OP(TrainerBase):
             lab = labels[:usable].reshape(-1, shots)[:, 0]
             feats[lab] = f
             filled[lab] = True
-        assert filled.all(), f"classes missing exemplars: {np.where(~filled)[0]}"
+        if not filled.all():  # not a bare assert: must survive python -O
+            raise RuntimeError(
+                f"classes missing exemplars: {np.where(~filled)[0]}"
+            )
 
         # chunked classifier heads: pad to a multiple of the chunk size and
         # run one compiled program per chunk (bounds text-tower activations

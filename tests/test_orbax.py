@@ -25,5 +25,12 @@ def test_orbax_roundtrip(tmp_path):
     # explicit-epoch load
     p3, _, ep3 = load_orbax(str(tmp_path), "prompt_learner", params, state, epoch=5)
     assert ep3 == 5
+
+    # params-only restore of a checkpoint saved WITH optimizer state
+    # (inference path; was broken before params/opt_state were separated)
+    p4, s4, ep4 = load_orbax(str(tmp_path), "prompt_learner", params)
+    assert ep4 == 5 and s4 is None
+    np.testing.assert_allclose(np.asarray(p4["w"]), np.arange(4.0))
+
     with pytest.raises(FileNotFoundError):
         load_orbax(str(tmp_path / "nope"), "prompt_learner", params)
