@@ -196,19 +196,45 @@ def build_transform(
     )
     gn_mean, gn_std = cfg.INPUT.GN_MEAN, cfg.INPUT.GN_STD
 
+    # optional policy/augment stages (reference AVAI_CHOICES extras)
+    policies = _build_policy_stages(cfg, choices)
+    crop_padding = cfg.INPUT.CROP_PADDING
+    cutout_n, cutout_len = cfg.INPUT.CUTOUT_N, cfg.INPUT.CUTOUT_LEN
+    rgs_p, gb_p, gb_k = cfg.INPUT.RGS_P, cfg.INPUT.GB_P, cfg.INPUT.GB_K
+
     def train_fn(img: Image.Image, rng) -> np.ndarray:
-        if "random_resized_crop" in choices:
+        if "augmix" in choices:
+            img = policies["augmix"](img, rng)
+        if "random_translation" in choices:
+            img = random_translation(img, size, interp=interp, rng=rng)
+        elif "random_crop" in choices:
+            img = random_crop(img, size, padding=crop_padding, rng=rng)
+        elif "random_resized_crop" in choices:
             img = random_resized_crop(
                 img, size, scale=rrc_scale, interp=interp, rng=rng
             )
-        elif "random_crop" not in choices:
+        else:
             img = resize_smaller_edge(img, max(size), interp)
             img = center_crop(img, size)
         if "random_flip" in choices and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        for key in (
+            "imagenet_policy", "cifar10_policy", "svhn_policy",
+            "randaugment", "randaugment_fixmatch", "randaugment2",
+        ):
+            if key in choices:
+                img = policies[key](img, rng)
         if "colorjitter" in choices:
             img = color_jitter(img, *cj, rng=rng)
+        if "randomgrayscale" in choices and rng.random() < rgs_p:
+            img = img.convert("L").convert("RGB")
+        if "gaussian_blur" in choices and rng.random() < gb_p:
+            from PIL import ImageFilter
+
+            img = img.filter(ImageFilter.GaussianBlur(radius=max(gb_k // 8, 1)))
         arr = to_chw_float(img)
+        if "cutout" in choices:
+            arr = cutout(arr, n_holes=cutout_n, length=cutout_len, rng=rng)
         if "normalize" in choices:
             arr = normalize(arr, mean, std)
         if "gaussian_noise" in choices and rng.random() < 0.5:
@@ -217,6 +243,111 @@ def build_transform(
                 noise_rng.standard_normal(arr.shape).astype(np.float32) * gn_std
                 + gn_mean
             )
+        if "instance_norm" in choices:
+            arr = instance_norm(arr)
         return arr
 
     return Transform(train_fn, f"train {choices} {size}", stochastic=True)
+
+
+def _build_policy_stages(cfg, choices):
+    stages = {}
+    needed = {
+        "imagenet_policy", "cifar10_policy", "svhn_policy", "randaugment",
+        "randaugment_fixmatch", "randaugment2", "augmix",
+    } & set(choices)
+    if not needed:
+        return stages
+    from ovmr_tpu.data.autoaugment import (
+        AugMix,
+        CIFAR10Policy,
+        ImageNetPolicy,
+        RandAugment,
+        RandAugment2,
+        RandAugmentFixMatch,
+        SVHNPolicy,
+    )
+
+    builders = {
+        "imagenet_policy": ImageNetPolicy,
+        "cifar10_policy": CIFAR10Policy,
+        "svhn_policy": SVHNPolicy,
+        "randaugment": lambda: RandAugment(
+            cfg.INPUT.RANDAUGMENT_N, cfg.INPUT.RANDAUGMENT_M
+        ),
+        "randaugment_fixmatch": lambda: RandAugmentFixMatch(cfg.INPUT.RANDAUGMENT_N),
+        "randaugment2": lambda: RandAugment2(cfg.INPUT.RANDAUGMENT_N),
+        "augmix": AugMix,
+    }
+    for key in needed:
+        stages[key] = builders[key]()
+    return stages
+
+
+def random_crop(
+    img: Image.Image, size, padding: int = 4, rng: random.Random = random
+) -> Image.Image:
+    """Pad-then-random-crop (torchvision RandomCrop semantics)."""
+    from PIL import ImageOps as _ImageOps
+
+    if padding > 0:
+        img = _ImageOps.expand(img, border=padding, fill=0)
+    w, h = img.size
+    th, tw = size
+    if w == tw and h == th:
+        return img
+    left = rng.randint(0, max(w - tw, 0))
+    top = rng.randint(0, max(h - th, 0))
+    return img.crop((left, top, left + tw, top + th))
+
+
+def random_translation(
+    img: Image.Image, size, p: float = 0.5, interp=BILINEAR,
+    rng: random.Random = random,
+) -> Image.Image:
+    """Resize to 1.125x then random-crop back (reference
+    ``Random2DTranslation``, transforms.py:80-128)."""
+    th, tw = size
+    if rng.random() > p:
+        return img.resize((tw, th), interp)
+    nw, nh = int(round(tw * 1.125)), int(round(th * 1.125))
+    img = img.resize((nw, nh), interp)
+    left = rng.randint(0, max(nw - tw, 0))
+    top = rng.randint(0, max(nh - th, 0))
+    return img.crop((left, top, left + tw, top + th))
+
+
+def cutout(
+    arr: np.ndarray, n_holes: int = 1, length: int = 16,
+    rng: random.Random = random,
+) -> np.ndarray:
+    """Zero square holes on a CHW float array (reference Cutout)."""
+    _, h, w = arr.shape
+    arr = arr.copy()
+    for _ in range(n_holes):
+        y = rng.randint(0, h - 1)
+        x = rng.randint(0, w - 1)
+        y1, y2 = np.clip([y - length // 2, y + length // 2], 0, h)
+        x1, x2 = np.clip([x - length // 2, x + length // 2], 0, w)
+        arr[:, y1:y2, x1:x2] = 0.0
+    return arr
+
+
+def instance_norm(arr: np.ndarray, eps: float = 1e-8) -> np.ndarray:
+    """Per-channel standardization (reference InstanceNormalization)."""
+    mean_c = arr.mean(axis=(1, 2), keepdims=True)
+    std_c = arr.std(axis=(1, 2), keepdims=True)
+    return (arr - mean_c) / (std_c + eps)
+
+
+def resize_with_pad(img: Image.Image, size, interp=BICUBIC) -> Image.Image:
+    """Aspect-preserving resize padded to the target frame (reference
+    ResizeWithPad)."""
+    th, tw = size
+    w, h = img.size
+    scale = min(tw / w, th / h)
+    nw, nh = int(round(w * scale)), int(round(h * scale))
+    resized = img.resize((nw, nh), interp)
+    canvas = Image.new("RGB", (tw, th), (0, 0, 0))
+    canvas.paste(resized, ((tw - nw) // 2, (th - nh) // 2))
+    return canvas
