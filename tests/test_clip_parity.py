@@ -103,3 +103,18 @@ def test_bf16_path_close_to_fp32(golden):
     ref = data["img_feat"]
     rel = np.abs(np.asarray(out16, np.float32) - ref) / (np.abs(ref) + 1e-3)
     assert rel.mean() < 0.05
+
+
+def test_fp16_path_close_to_fp32(golden):
+    # TPU.DTYPE=float16 mirrors the reference numerics (fp16 params,
+    # fp32 LayerNorm); verify the path runs and stays close to fp32
+    data, params, cfg = golden
+    import jax.numpy as jnp
+    import numpy as np
+
+    p16 = jclip.cast_params(params, jnp.float16)
+    out16 = jclip.encode_image(p16, cfg, jnp.asarray(data["images"], jnp.float16))
+    assert out16.dtype == jnp.float16
+    ref = data["img_feat"]
+    rel = np.abs(np.asarray(out16, np.float32) - ref) / (np.abs(ref) + 1e-3)
+    assert rel.mean() < 0.02
