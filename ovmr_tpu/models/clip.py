@@ -344,15 +344,19 @@ def clip_forward(params: dict, cfg: CLIPConfig, images: jax.Array, tokens: jax.A
 
 
 def cast_params(params: dict, dtype) -> dict:
-    """Cast floating leaves to `dtype`, keeping logit_scale fp32 (matches
-    reference convert_weights keeping LN fp32-computed; LN params can be low
-    precision since layer_norm upcasts)."""
+    """Cast floating leaves to `dtype`, keeping logit_scale and quantization
+    scales fp32 (matches reference convert_weights keeping LN fp32-computed;
+    LN params can be low precision since layer_norm upcasts)."""
 
-    def cast(path_leaf):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            path_leaf,
-        )
+    def cast(tree):
+        def leaf(path, x):
+            if not jnp.issubdtype(x.dtype, jnp.floating):
+                return x
+            if path and str(getattr(path[-1], "key", "")).endswith("_scale"):
+                return x  # int8 dequantization scales stay fp32
+            return x.astype(dtype)
+
+        return jax.tree_util.tree_map_with_path(leaf, tree)
 
     out = {k: cast(v) for k, v in params.items() if k != "logit_scale"}
     out["logit_scale"] = params["logit_scale"]

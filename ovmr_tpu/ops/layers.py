@@ -44,11 +44,26 @@ def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Arra
     return y.astype(x.dtype)
 
 
+def _block_dense(x: jax.Array, p: dict, key: str) -> jax.Array:
+    """Block matmul dispatching on weight dtype: int8 weights (serving
+    quantization, :mod:`ovmr_tpu.ops.quant`) take the dynamic-quant path."""
+    w = p[key]
+    bias_key = {
+        "w_qkv": "b_qkv", "w_out": "b_out",
+        "c_fc_w": "c_fc_b", "c_proj_w": "c_proj_b",
+    }[key]
+    if w.dtype == jnp.int8:
+        from ovmr_tpu.ops.quant import dense_int8
+
+        return dense_int8(x, w, p[key + "_scale"], p[bias_key])
+    return dense(x, w, p[bias_key])
+
+
 def mlp_block(x: jax.Array, p: dict) -> jax.Array:
     """c_fc -> QuickGELU -> c_proj (reference ResidualAttentionBlock.mlp)."""
-    h = dense(x, p["c_fc_w"], p["c_fc_b"])
+    h = _block_dense(x, p, "c_fc_w")
     h = quick_gelu(h)
-    return dense(h, p["c_proj_w"], p["c_proj_b"])
+    return _block_dense(h, p, "c_proj_w")
 
 
 def split_heads(x: jax.Array, n_head: int) -> jax.Array:
@@ -100,13 +115,12 @@ def multi_head_attention(
     Params: ``w_qkv`` [D, 3D], ``b_qkv`` [3D], ``w_out`` [D, D], ``b_out`` [D]
     (transposed from torch's [3D, D] in_proj so the hot op is x @ W on MXU).
     """
-    d = x.shape[-1]
-    qkv = dense(x, p["w_qkv"], p["b_qkv"])  # [B, L, 3D]
+    qkv = _block_dense(x, p, "w_qkv")  # [B, L, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (split_heads(t, n_head) for t in (q, k, v))
     out = attn_fn(q, k, v, mask)
     out = merge_heads(out)
-    return dense(out, p["w_out"], p["b_out"])
+    return _block_dense(out, p, "w_out")
 
 
 def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:

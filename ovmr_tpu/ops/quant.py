@@ -1,0 +1,77 @@
+"""int8 quantized inference path (serving).
+
+v5e's MXU doubles throughput at int8. This module implements weight+activation
+int8 matmuls for the frozen towers:
+
+- weights: per-output-channel symmetric int8, quantized once at load
+  (:func:`quantize_params`);
+- activations: dynamic per-row symmetric int8 computed inside the program;
+- accumulation in int32, dequantized with the product of the two scales.
+
+Only the transformer block matmuls (qkv/out/mlp) quantize — LayerNorm,
+softmax, attention and the small projections stay bf16/fp32. Gated by
+``TPU.INT8`` (serving only; training never quantizes). Accuracy: unit
+feature cosine > 0.999 vs bf16 on random towers (see tests); validate on
+real weights before production use.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QUANT_KEYS = ("w_qkv", "w_out", "c_fc_w", "c_proj_w")
+
+
+def quantize_weight(w: np.ndarray):
+    """[in, out] float -> (int8 [in, out], scale fp32 [out])."""
+    w = np.asarray(w, np.float32)
+    scale = np.abs(w).max(axis=0) / 127.0
+    scale = np.where(scale == 0, 1.0, scale)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def quantize_blocks(blocks: dict) -> dict:
+    """Quantize the stacked block weights; biases/LN params unchanged.
+    Adds ``{key}_scale`` entries and replaces the weights with int8."""
+    out = dict(blocks)
+    for key in QUANT_KEYS:
+        w = np.asarray(blocks[key], np.float32)  # [L, in, out]
+        qs, scales = zip(*(quantize_weight(w[i]) for i in range(w.shape[0])))
+        out[key] = jnp.asarray(np.stack(qs))
+        out[key + "_scale"] = jnp.asarray(np.stack(scales))
+    return out
+
+
+def quantize_params(params: dict) -> dict:
+    """Quantize the transformer blocks of both towers (serving path)."""
+    out = {k: v for k, v in params.items()}
+    for tower in ("visual", "text"):
+        if tower in out and "blocks" in out[tower]:
+            t = dict(out[tower])
+            t["blocks"] = quantize_blocks(t["blocks"])
+            out[tower] = t
+    return out
+
+
+def dense_int8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array, b=None) -> jax.Array:
+    """x [.., in] float @ int8 weight [in, out] with dynamic per-row
+    activation quantization; returns x.dtype."""
+    orig_shape = x.shape
+    xf = x.reshape(-1, orig_shape[-1]).astype(jnp.float32)
+    x_scale = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0
+    x_scale = jnp.where(x_scale == 0, 1.0, x_scale)
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * x_scale * w_scale.astype(jnp.float32)[None, :]
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.reshape(*orig_shape[:-1], -1).astype(x.dtype)
+
+
+def is_quantized(p: dict) -> bool:
+    return "w_qkv_scale" in p
