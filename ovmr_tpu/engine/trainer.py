@@ -275,6 +275,13 @@ class MM_CLS_OP(TrainerBase):
         )
 
         clip_params, self.clip_cfg = load_or_init_clip(cfg)
+        if cfg.TPU.INT8:
+            from ovmr_tpu.ops.quant import quantize_params
+
+            print("Quantizing frozen tower block matmuls to int8 (serving)")
+            clip_params = quantize_params(
+                jax.tree_util.tree_map(np.asarray, clip_params)
+            )
         self.clip_params = jclip.cast_params(
             jax.tree_util.tree_map(jnp.asarray, clip_params), self.dtype
         )

@@ -192,6 +192,10 @@ def get_cfg_default() -> CfgNode:
     # eval batches ship as uint8 and normalize on device (4x smaller
     # host->device transfers; bit-identical numerics)
     c.TPU.EVAL_UINT8_TRANSFER = True
+    # int8 weight+activation quantization of the frozen tower block matmuls
+    # (serving only; feature cosine >0.995). Measured NOT faster on v5e at
+    # ViT-B shapes (dynamic-quant overhead) — docs/DESIGN.md; default off
+    c.TPU.INT8 = False
 
     return c
 
