@@ -606,7 +606,10 @@ class MM_CLS_OP(TrainerBase):
                 "text | vision | multimodal | fusion"
             )
         split = split or cfg.TEST.SPLIT
-        loader = self.dm.test_loader if split == "test" else self.dm.val_loader
+        # reference fallback: use test when no val split exists
+        loader = self.dm.val_loader if split == "val" else self.dm.test_loader
+        if loader is None:
+            loader = self.dm.test_loader
         if self.classifiers is None:
             self.generate_classifiers()
 
