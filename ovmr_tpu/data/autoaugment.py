@@ -47,7 +47,9 @@ def _translate_y(img, v):
 
 
 def _rotate(img, v):
-    return img.convert("RGBA").rotate(v).convert("RGB")
+    rot = img.convert("RGBA").rotate(v)
+    bg = Image.new("RGBA", rot.size, FILL + (255,))
+    return Image.alpha_composite(bg, rot).convert("RGB")
 
 
 def _cutout_frac(img, v, rng=_random):
@@ -234,28 +236,76 @@ class SVHNPolicy(_AutoAugmentBase):
     )
 
 
-RAND_AUGMENT_OPS = [
-    "identity", "autocontrast", "equalize", "rotate", "solarize", "color",
-    "posterize", "contrast", "brightness", "sharpness", "shearX", "shearY",
-    "translateX", "translateY",
+# --------------------------------------------------------------------------
+# RandAugment family: continuous (min, max) op ranges, magnitude-scaled
+# like the reference (``dassl/data/transforms/randaugment.py:312-363``)
+# --------------------------------------------------------------------------
+
+def _enh(factory):
+    return lambda img, v, rng: factory(img).enhance(v)
+
+
+RANDAUGMENT_LIST = [
+    ("autocontrast", 0.0, 1.0),
+    ("equalize", 0.0, 1.0),
+    ("invert", 0.0, 1.0),
+    ("rotate", 0.0, 30.0),
+    ("posterize", 4.0, 8.0),
+    ("solarize", 0.0, 256.0),
+    ("color", 0.1, 1.9),
+    ("contrast", 0.1, 1.9),
+    ("brightness", 0.1, 1.9),
+    ("sharpness", 0.1, 1.9),
+    ("shearX", 0.0, 0.3),
+    ("shearY", 0.0, 0.3),
+    ("translateX", 0.0, 0.33),
+    ("translateY", 0.0, 0.33),
+]
+
+# fixmatch/randaugment2 variants draw over symmetric geometric ranges
+FIXMATCH_LIST = [
+    ("autocontrast", 0.0, 1.0),
+    ("brightness", 0.05, 0.95),
+    ("color", 0.05, 0.95),
+    ("contrast", 0.05, 0.95),
+    ("equalize", 0.0, 1.0),
+    ("identity", 0.0, 1.0),
+    ("posterize", 4.0, 8.0),
+    ("rotate", -30.0, 30.0),
+    ("sharpness", 0.05, 0.95),
+    ("shearX", -0.3, 0.3),
+    ("shearY", -0.3, 0.3),
+    ("solarize", 0.0, 256.0),
+    ("translateX", -0.3, 0.3),
+    ("translateY", -0.3, 0.3),
 ]
 
 
+def _apply_val(img, op, v, rng):
+    if op == "identity":
+        return img
+    return OPS[op](img, v, rng)
+
+
 class RandAugment:
-    """N random ops at fixed magnitude M (of 10 bins)."""
+    """N ops at magnitude m of 30: val = (m/30)*(max-min)+min
+    (reference ``RandAugment``)."""
 
     def __init__(self, n: int = 2, m: int = 10):
+        assert 0 <= m <= 30
         self.n = n
-        self.m = min(max(int(m), 0), 9)
+        self.m = m
 
     def __call__(self, img, rng=_random):
-        for op in [rng.choice(RAND_AUGMENT_OPS) for _ in range(self.n)]:
-            img = _apply(img, op, self.m, rng)
+        for _ in range(self.n):
+            op, lo, hi = rng.choice(RANDAUGMENT_LIST)
+            img = _apply_val(img, op, (self.m / 30) * (hi - lo) + lo, rng)
         return img
 
 
 class RandAugment2:
-    """N random ops, each at a uniformly random magnitude."""
+    """N ops, each applied with probability p at a uniform magnitude
+    (reference ``RandAugment2``)."""
 
     def __init__(self, n: int = 2, p: float = 0.6):
         self.n = n
@@ -265,21 +315,23 @@ class RandAugment2:
         for _ in range(self.n):
             if rng.random() > self.p:
                 continue
-            op = rng.choice(RAND_AUGMENT_OPS)
-            img = _apply(img, op, rng.randint(0, 9), rng)
+            op, lo, hi = rng.choice(FIXMATCH_LIST)
+            img = _apply_val(img, op, rng.random() * (hi - lo) + lo, rng)
         return img
 
 
 class RandAugmentFixMatch:
-    """FixMatch's strong branch: N ops, random magnitude, then cutout."""
+    """FixMatch strong branch: N ops at uniform random magnitude
+    (reference ``RandAugmentFixMatch``; no extra cutout)."""
 
     def __init__(self, n: int = 2):
         self.n = n
 
     def __call__(self, img, rng=_random):
-        for op in [rng.choice(RAND_AUGMENT_OPS) for _ in range(self.n)]:
-            img = _apply(img, op, rng.randint(0, 9), rng)
-        return _cutout_frac(img, 0.5, rng)
+        for _ in range(self.n):
+            op, lo, hi = rng.choice(FIXMATCH_LIST)
+            img = _apply_val(img, op, rng.random() * (hi - lo) + lo, rng)
+        return img
 
 
 class AugMix:
@@ -298,12 +350,13 @@ class AugMix:
         m = float(np_rng.beta(self.alpha, self.alpha))
         base = np.asarray(img, np.float32)
         mix = np.zeros_like(base)
+        frac = self.severity / 10.0
         for i in range(self.width):
             chain = img.copy()
             depth = self.depth if self.depth > 0 else rng.randint(1, 3)
             for _ in range(depth):
-                op = rng.choice(RAND_AUGMENT_OPS)
-                chain = _apply(chain, op, self.severity - 1, rng)
+                op, lo, hi = rng.choice(RANDAUGMENT_LIST)
+                chain = _apply_val(chain, op, frac * (hi - lo) + lo, rng)
             mix += ws[i] * np.asarray(chain, np.float32)
         blended = (1 - m) * base + m * mix
         return Image.fromarray(np.clip(blended, 0, 255).astype(np.uint8))

@@ -205,17 +205,20 @@ def build_transform(
     def train_fn(img: Image.Image, rng) -> np.ndarray:
         if "augmix" in choices:
             img = policies["augmix"](img, rng)
+        # reference stage order (transforms.py:262-290): the initial
+        # resize+crop applies whenever no crop-producing choice is active;
+        # translation / crops are then independent sequential stages
+        if "random_crop" not in choices and "random_resized_crop" not in choices:
+            img = resize_smaller_edge(img, max(size), interp)
+            img = center_crop(img, size)
         if "random_translation" in choices:
             img = random_translation(img, size, interp=interp, rng=rng)
-        elif "random_crop" in choices:
+        if "random_crop" in choices:
             img = random_crop(img, size, padding=crop_padding, rng=rng)
-        elif "random_resized_crop" in choices:
+        if "random_resized_crop" in choices:
             img = random_resized_crop(
                 img, size, scale=rrc_scale, interp=interp, rng=rng
             )
-        else:
-            img = resize_smaller_edge(img, max(size), interp)
-            img = center_crop(img, size)
         if "random_flip" in choices and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         for key in (
@@ -231,7 +234,8 @@ def build_transform(
         if "gaussian_blur" in choices and rng.random() < gb_p:
             from PIL import ImageFilter
 
-            img = img.filter(ImageFilter.GaussianBlur(radius=max(gb_k // 8, 1)))
+            # reference samples sigma ~ U(0.1, 2.0) per image
+            img = img.filter(ImageFilter.GaussianBlur(radius=rng.uniform(0.1, 2.0)))
         arr = to_chw_float(img)
         if "cutout" in choices:
             arr = cutout(arr, n_holes=cutout_n, length=cutout_len, rng=rng)

@@ -272,10 +272,7 @@ class CoOp(TrainerBase):
     def test(self, split: Optional[str] = None):
         cfg = self.cfg
         split = split or cfg.TEST.SPLIT
-        # reference fallback: use test when no val split exists
-        loader = self.dm.val_loader if split == "val" else self.dm.test_loader
-        if loader is None:
-            loader = self.dm.test_loader
+        loader = self.eval_loader(split)
 
         mm_f, v_f, t_f = (np.asarray(f, np.float32) for f in self._jit_text_features(self.params))
         fusion_weight = self.get_fusion_weight(mm_f, v_f, t_f)

@@ -178,6 +178,12 @@ class TrainerBase:
     def save_model(self, epoch):
         pass
 
+    def eval_loader(self, split):
+        """val loader for split=='val' when it exists, else test
+        (reference SimpleTrainer fallback)."""
+        loader = self.dm.val_loader if split == "val" else self.dm.test_loader
+        return loader if loader is not None else self.dm.test_loader
+
     def init_writer(self):
         if getattr(self, "_writer", None) is None:
             from ovmr_tpu.utils.tensorboard import SummaryWriter
@@ -275,16 +281,16 @@ class MM_CLS_OP(TrainerBase):
         )
 
         clip_params, self.clip_cfg = load_or_init_clip(cfg)
-        if cfg.TPU.INT8:
-            from ovmr_tpu.ops.quant import quantize_params
-
-            print("Quantizing frozen tower block matmuls to int8 (serving)")
-            clip_params = quantize_params(
-                jax.tree_util.tree_map(np.asarray, clip_params)
-            )
         self.clip_params = jclip.cast_params(
             jax.tree_util.tree_map(jnp.asarray, clip_params), self.dtype
         )
+        # int8 is SERVING-ONLY: gradients through round/clip would be zero,
+        # so training always uses the float towers; serving_params quantizes
+        # lazily for eval/classifier generation (see serving_params property)
+        self._fp_clip_params_np = (
+            jax.tree_util.tree_map(np.asarray, clip_params) if cfg.TPU.INT8 else None
+        )
+        self._serving_params_cache = None
 
         if self.clip_cfg.embed_dim != self.clip_cfg.transformer_width:
             # voken splicing inserts image-space tokens into text embeddings;
@@ -469,6 +475,24 @@ class MM_CLS_OP(TrainerBase):
         print(f'Loaded prompt_learner weights from "{directory}" (epoch = {ep})')
 
     # ---- evaluation -----------------------------------------------------
+    @property
+    def serving_params(self):
+        """CLIP params used by eval paths: int8-quantized (lazily, once)
+        when TPU.INT8 is set, else the float training params."""
+        if self._fp_clip_params_np is None:
+            return self.clip_params
+        if self._serving_params_cache is None:
+            from ovmr_tpu.ops.quant import quantize_params
+
+            print("Quantizing frozen tower block matmuls to int8 (serving)")
+            self._serving_params_cache = jclip.cast_params(
+                jax.tree_util.tree_map(
+                    jnp.asarray, quantize_params(self._fp_clip_params_np)
+                ),
+                self.dtype,
+            )
+        return self._serving_params_cache
+
     def generate_classifiers(self):
         """Collect exemplar features from eval_set_loader, then run ONE
         compiled classifier-generation program over the padded class set
@@ -486,7 +510,7 @@ class MM_CLS_OP(TrainerBase):
             usable = (images.shape[0] // shots) * shots
             if usable == 0:
                 continue
-            f = self._features(self.clip_params, images[:usable]).reshape(
+            f = self._features(self.serving_params, images[:usable]).reshape(
                 -1, shots, dim
             )
             lab = labels[:usable].reshape(-1, shots)[:, 0]
@@ -517,11 +541,11 @@ class MM_CLS_OP(TrainerBase):
             sl = slice(start, start + chunk)
             t_parts.append(
                 self._jit_text_classifier(
-                    self.clip_params, jnp.asarray(pad_ptok[sl])
+                    self.serving_params, jnp.asarray(pad_ptok[sl])
                 )
             )
             mm_c, v_c, vt_c = self._jit_heads(
-                self.clip_params,
+                self.serving_params,
                 self.agg_params,
                 jnp.asarray(pad_feats[sl], self.dtype),
                 jnp.asarray(pad_ptok[sl]),
@@ -606,10 +630,7 @@ class MM_CLS_OP(TrainerBase):
                 "text | vision | multimodal | fusion"
             )
         split = split or cfg.TEST.SPLIT
-        # reference fallback: use test when no val split exists
-        loader = self.dm.val_loader if split == "val" else self.dm.test_loader
-        if loader is None:
-            loader = self.dm.test_loader
+        loader = self.eval_loader(split)
         if self.classifiers is None:
             self.generate_classifiers()
 
@@ -619,7 +640,7 @@ class MM_CLS_OP(TrainerBase):
         self.evaluator.reset()
         print(f"Evaluate on the *{split}* set (mode={mode})")
         for batch in loader:
-            feats = self._features(self.clip_params, batch["img"])
+            feats = self._features(self.serving_params, batch["img"])
             # classifier matmul + softmax on host: tiny vs a device dispatch
             probs = ovmr.eval_logits_np(feats, self.classifiers, logit_scale, mode)
             self.evaluator.process(probs, batch["label"])

@@ -64,10 +64,7 @@ class ZeroshotCLIP(TrainerBase):
 
         cfg = self.cfg
         split = split or cfg.TEST.SPLIT
-        # reference fallback: use test when no val split exists
-        loader = self.dm.val_loader if split == "val" else self.dm.test_loader
-        if loader is None:
-            loader = self.dm.test_loader
+        loader = self.eval_loader(split)
         logit_scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
         features = make_feature_extractor(
             self.clip_cfg, self.attn_fn, self.dtype,

@@ -348,11 +348,14 @@ def cast_params(params: dict, dtype) -> dict:
     scales fp32 (matches reference convert_weights keeping LN fp32-computed;
     LN params can be low precision since layer_norm upcasts)."""
 
+    # exactly the int8 dequantization scale keys — NOT LayerNorm *_scale
+    quant_scale_keys = {"w_qkv_scale", "w_out_scale", "c_fc_w_scale", "c_proj_w_scale"}
+
     def cast(tree):
         def leaf(path, x):
             if not jnp.issubdtype(x.dtype, jnp.floating):
                 return x
-            if path and str(getattr(path[-1], "key", "")).endswith("_scale"):
+            if path and str(getattr(path[-1], "key", "")) in quant_scale_keys:
                 return x  # int8 dequantization scales stay fp32
             return x.astype(dtype)
 

@@ -72,6 +72,3 @@ def dense_int8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array, b=None) -> jax.
         y = y + b.astype(jnp.float32)
     return y.reshape(*orig_shape[:-1], -1).astype(x.dtype)
 
-
-def is_quantized(p: dict) -> bool:
-    return "w_qkv_scale" in p

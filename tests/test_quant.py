@@ -54,3 +54,41 @@ def test_quantized_tower_feature_fidelity():
     got_t = l2_normalize(jclip.encode_text(qparams, cfg, tokens))
     cos_t = np.sum(np.asarray(ref_t) * np.asarray(got_t), axis=-1)
     assert (cos_t > 0.995).all(), cos_t
+
+
+def test_int8_trainer_eval_only(tmp_path):
+    """TPU.INT8: training params stay float; eval uses the quantized copy."""
+    import os
+
+    from ovmr_tpu.engine.trainer import build_trainer
+    from ovmr_tpu.utils.defaults import get_cfg_default
+
+    c = get_cfg_default()
+    c.OUTPUT_DIR = str(tmp_path / "out")
+    c.SEED = 1
+    c.DATASET.ROOT = str(tmp_path / "data")
+    c.DATASET.NAME = "Synthetic"
+    c.DATASET.NUM_SHOTS = 4
+    c.INPUT.SIZE = (32, 32)
+    c.INPUT.TRANSFORMS = ["normalize"]
+    c.DATALOADER.TRAIN_X.SAMPLER = "RandomClassSampler"
+    c.DATALOADER.TRAIN_X.BATCH_SIZE = 16
+    c.DATALOADER.TRAIN_X.N_INS = 4
+    c.DATALOADER.TEST.BATCH_SIZE = 16
+    c.DATALOADER.NUM_WORKERS = 2
+    c.MODEL.BACKBONE.NAME = "TINY"
+    c.OPTIM.MAX_EPOCH = 1
+    c.TRAINER.NAME = "MM_CLS_OP"
+    c.TRAINER.COCOOP.N_CTX = 2
+    c.TEST.NO_TEST = True
+    c.TPU.DTYPE = "float32"
+    c.TPU.INT8 = True
+    os.makedirs(c.OUTPUT_DIR, exist_ok=True)
+
+    t = build_trainer(c)
+    # training params are NOT quantized
+    assert t.clip_params["visual"]["blocks"]["w_qkv"].dtype != jnp.int8
+    # serving params are
+    assert t.serving_params["visual"]["blocks"]["w_qkv"].dtype == jnp.int8
+    acc = t.test()
+    assert 0.0 <= acc <= 100.0
