@@ -122,8 +122,14 @@ class Classification:
 
         if self.cfg.TEST.COMPUTE_CMAT:
             cmat = confusion_matrix(y_true, y_pred, normalize="true")
-            save_path = osp.join(self.cfg.OUTPUT_DIR, "cmat.npy")
-            np.save(save_path, cmat)
+            save_path = osp.join(self.cfg.OUTPUT_DIR, "cmat.pt")
+            try:  # reference artifact format (torch.save, evaluator.py:166-169)
+                import torch
+
+                torch.save(cmat, save_path)
+            except ImportError:
+                save_path = osp.join(self.cfg.OUTPUT_DIR, "cmat.npy")
+                np.save(save_path, cmat)
             print(f"Confusion matrix is saved to {save_path}")
 
         return results
