@@ -472,6 +472,7 @@ class MM_CLS_OP(TrainerBase):
             directory, "prompt_learner", self.agg_params, None, epoch=epoch
         )
         self.agg_params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.classifiers = None  # invalidate any cache from previous weights
         print(f'Loaded prompt_learner weights from "{directory}" (epoch = {ep})')
 
     # ---- evaluation -----------------------------------------------------
