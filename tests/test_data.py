@@ -175,3 +175,39 @@ def test_synthetic_pipeline(tmp_path):
     eval_batch = next(iter(dm.eval_set_loader))
     el = eval_batch["label"].reshape(-1, 4)
     assert (el == el[:, :1]).all()
+
+
+def test_random_full_class_sampler():
+    from ovmr_tpu.data import build_sampler
+
+    items = make_items(3, 5)
+    sampler = build_sampler("RandomFullClassSampler", items, batch_size=10, n_ins=5)
+    idx = sampler.epoch_indices(np.random.default_rng(0))
+    # every item exactly once, grouped per class
+    assert sorted(idx.tolist()) == list(range(15))
+    labels = np.asarray([items[i].label for i in idx]).reshape(3, 5)
+    assert (labels == labels[:, :1]).all()
+
+
+def test_loader_drop_last():
+    from PIL import Image
+    import tempfile, os
+
+    from ovmr_tpu.data import Datum
+    from ovmr_tpu.data.manager import HostDataLoader
+    from ovmr_tpu.data.samplers import build_sampler
+
+    d = tempfile.mkdtemp()
+    items = []
+    for i in range(7):
+        p = os.path.join(d, f"{i}.png")
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p)
+        items.append(Datum(impath=p, label=0, classname="x"))
+    sampler = build_sampler("SequentialSampler", items, 0)
+    keep = HostDataLoader(items, sampler, None, batch_size=3, num_workers=1)
+    drop = HostDataLoader(items, sampler, None, batch_size=3, num_workers=1, drop_last=True)
+    assert len(keep) == 3 and len(drop) == 2
+    sizes = [b["img"].shape[0] for b in keep]
+    assert sizes == [3, 3, 1]
+    sizes_d = [b["img"].shape[0] for b in drop]
+    assert sizes_d == [3, 3]
