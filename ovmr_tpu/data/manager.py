@@ -42,6 +42,9 @@ class HostDataLoader:
         num_workers: int = 8,
         drop_last: bool = False,
         k_transforms: int = 1,
+        text_only: bool = False,
+        return_img0: bool = False,
+        img0_transform=None,
     ):
         self.data_source = data_source
         self.sampler = sampler
@@ -49,6 +52,14 @@ class HostDataLoader:
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
+        # TEXT_ONLY short-circuit (reference DatasetWrapper,
+        # ``data_manager.py:311-312``): train batches carry labels/paths only,
+        # no image IO — used by text-side-only experiments
+        self.text_only = text_only
+        # RETURN_IMG0 (reference ``data_manager.py:330-331``): also emit the
+        # un-augmented tensorized image under "img0"
+        self.return_img0 = return_img0
+        self.img0_transform = img0_transform
         # K>1 applies the (stochastic) transform K times per image and emits
         # the variants adjacently: img [B*K, ...], label repeated K times
         # (reference K_TRANSFORMS, ``data_manager.py:334-344``)
@@ -85,12 +96,33 @@ class HostDataLoader:
             ]
         else:
             arrs = [self.transform(img) for _ in range(self.k_transforms)]
-        return arrs, item.label, item.impath
+        img0 = None
+        if self.return_img0:
+            tfm0 = self.img0_transform
+            img0 = (
+                tfm0(img)
+                if tfm0 is not None
+                else np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+            )
+        return arrs, item.label, item.impath, img0
 
     def __iter__(self) -> Iterator[Dict]:
         rng = np.random.default_rng(self._seed + self._epoch)
         indices = self.sampler.epoch_indices(rng)
         self._epoch += 1
+
+        if self.text_only:
+            for start in range(0, len(indices), self.batch_size):
+                batch_idx = indices[start : start + self.batch_size]
+                if self.drop_last and len(batch_idx) < self.batch_size:
+                    break
+                items = [self.data_source[i] for i in batch_idx]
+                yield {
+                    "label": np.asarray([it.label for it in items], np.int32),
+                    "impath": [it.impath for it in items],
+                    "index": np.asarray(batch_idx, np.int64),
+                }
+            return
 
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for start in range(0, len(indices), self.batch_size):
@@ -111,12 +143,19 @@ class HostDataLoader:
                 labels = np.repeat(
                     np.asarray([r[1] for r in results], np.int32), k
                 )
-                yield {
+                out = {
                     "img": imgs,
                     "label": labels,
                     "impath": [r[2] for r in results for _ in range(k)],
                     "index": np.repeat(np.asarray(batch_idx, np.int64), k),
                 }
+                if self.return_img0:
+                    out["img0"] = np.repeat(
+                        np.stack([r[3] for r in results]).astype(np.float32),
+                        k,
+                        axis=0,
+                    )
+                yield out
 
 
 class DataManager:
@@ -135,6 +174,11 @@ class DataManager:
         seed = max(cfg.SEED, 0)
 
         ds = self.dataset
+        img0_tfm = None
+        if cfg.DATALOADER.RETURN_IMG0:
+            from .transforms import to_tensor_transform
+
+            img0_tfm = to_tensor_transform(cfg)
         self.train_loader_x = HostDataLoader(
             ds.train_x,
             build_sampler(
@@ -142,12 +186,16 @@ class DataManager:
                 ds.train_x,
                 cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
                 cfg.DATALOADER.TRAIN_X.N_INS,
+                cfg.DATALOADER.TRAIN_X.N_DOMAIN,
             ),
             tfm_train,
             cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
             seed=seed,
             num_workers=nw,
             k_transforms=cfg.DATALOADER.K_TRANSFORMS,
+            text_only=bool(cfg.TEXT_ONLY),
+            return_img0=bool(cfg.DATALOADER.RETURN_IMG0),
+            img0_transform=img0_tfm,
         ) if ds.train_x else None
 
         self.val_loader = HostDataLoader(

@@ -8,6 +8,9 @@ framework and distributionally equivalent (verified by tests):
   by class; classes with fewer than n_ins items resample with replacement;
   no class dropped (tail batches may hold fewer classes).
 - RandomFullClassSampler: N classes per batch with ALL their items.
+- RandomDomainSampler / SeqDomainSampler: N domains x K images per batch
+  (reference ``samplers.py:12-114``; unused by OVMR configs but part of the
+  build_sampler surface).
 - Sequential/Random samplers for plain iteration.
 """
 
@@ -98,15 +101,97 @@ class RandomFullClassSampler:
         return np.concatenate(out) if out else np.empty(0, np.int64)
 
 
+class RandomDomainSampler:
+    """N random domains x K images per batch (reference ``samplers.py:12-61``).
+
+    Each epoch draws ``n_domain`` domains uniformly, takes ``batch_size //
+    n_domain`` images (without replacement within the epoch) from each, and
+    stops as soon as any touched domain can no longer fill a full group —
+    matching the reference's stop condition."""
+
+    def __init__(self, data_source, batch_size: int, n_domain: int = 0, **kwargs):
+        self.index_by_domain: Dict[int, List[int]] = defaultdict(list)
+        for idx, item in enumerate(data_source):
+            self.index_by_domain[item.domain].append(idx)
+        self.domains = sorted(self.index_by_domain)
+        if n_domain is None or n_domain <= 0:
+            n_domain = len(self.domains)
+        if batch_size % n_domain != 0:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by n_domain={n_domain}"
+            )
+        self.n_domain = n_domain
+        self.n_img_per_domain = batch_size // n_domain
+
+    def epoch_indices(self, rng: np.random.Generator) -> np.ndarray:
+        remaining = {
+            d: list(rng.permutation(idxs))
+            for d, idxs in self.index_by_domain.items()
+        }
+        out: List[int] = []
+        while True:
+            chosen = rng.choice(len(self.domains), size=self.n_domain, replace=False)
+            stop = False
+            for di in chosen:
+                pool = remaining[self.domains[di]]
+                out.extend(pool[: self.n_img_per_domain])
+                del pool[: self.n_img_per_domain]
+                if len(pool) < self.n_img_per_domain:
+                    stop = True
+            if stop:
+                return np.asarray(out, np.int64)
+
+
+class SeqDomainSampler:
+    """Every (sorted) domain contributes K images per batch
+    (reference ``samplers.py:64-114``)."""
+
+    def __init__(self, data_source, batch_size: int, **kwargs):
+        self.index_by_domain: Dict[int, List[int]] = defaultdict(list)
+        for idx, item in enumerate(data_source):
+            self.index_by_domain[item.domain].append(idx)
+        self.domains = sorted(self.index_by_domain)
+        n_domain = len(self.domains)
+        if batch_size % n_domain != 0:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by n_domain={n_domain}"
+            )
+        self.n_domain = n_domain
+        self.n_img_per_domain = batch_size // n_domain
+
+    def epoch_indices(self, rng: np.random.Generator) -> np.ndarray:
+        remaining = {
+            d: list(rng.permutation(idxs))
+            for d, idxs in self.index_by_domain.items()
+        }
+        out: List[int] = []
+        while True:
+            stop = False
+            for d in self.domains:
+                pool = remaining[d]
+                out.extend(pool[: self.n_img_per_domain])
+                del pool[: self.n_img_per_domain]
+                if len(pool) < self.n_img_per_domain:
+                    stop = True
+            if stop:
+                return np.asarray(out, np.int64)
+
+
 SAMPLERS = {
     "SequentialSampler": SequentialSampler,
     "RandomSampler": RandomSampler,
     "RandomClassSampler": RandomClassSampler,
     "RandomFullClassSampler": RandomFullClassSampler,
+    "RandomDomainSampler": RandomDomainSampler,
+    "SeqDomainSampler": SeqDomainSampler,
 }
 
 
-def build_sampler(name: str, data_source, batch_size: int, n_ins: int = 16):
+def build_sampler(
+    name: str, data_source, batch_size: int, n_ins: int = 16, n_domain: int = 0
+):
     if name not in SAMPLERS:
         raise ValueError(f"unknown sampler {name!r}; available {sorted(SAMPLERS)}")
-    return SAMPLERS[name](data_source, batch_size=batch_size, n_ins=n_ins)
+    return SAMPLERS[name](
+        data_source, batch_size=batch_size, n_ins=n_ins, n_domain=n_domain
+    )

@@ -344,6 +344,22 @@ def instance_norm(arr: np.ndarray, eps: float = 1e-8) -> np.ndarray:
     return (arr - mean_c) / (std_c + eps)
 
 
+def to_tensor_transform(cfg) -> Transform:
+    """Resize-to-SIZE + tensorize(+normalize-if-configured), used for
+    RETURN_IMG0 (reference DatasetWrapper ``to_tensor``,
+    ``data_manager.py:288-297``)."""
+    mean, std = cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD
+    do_norm = "normalize" in cfg.INPUT.TRANSFORMS
+    th, tw = tuple(cfg.INPUT.SIZE)
+    interp = INTERP[cfg.INPUT.INTERPOLATION]
+
+    def fn(img: Image.Image) -> np.ndarray:
+        arr = to_chw_float(img.resize((tw, th), interp))
+        return normalize(arr, mean, std) if do_norm else arr
+
+    return Transform(fn, "img0 to_tensor")
+
+
 def resize_with_pad(img: Image.Image, size, interp=BICUBIC) -> Image.Image:
     """Aspect-preserving resize padded to the target frame (reference
     ResizeWithPad)."""
