@@ -59,11 +59,17 @@ def save_checkpoint(
     params,
     opt_state=None,
     is_best: bool = False,
+    model_name: str = "",
 ) -> str:
-    """Write ``{directory}/{name}/model-{epoch}.npz`` + pointer file."""
+    """Write ``{directory}/{name}/model-{epoch}.npz`` + pointer file.
+    With ``model_name`` the file is ``{model_name}.npz`` instead (the
+    reference's best-val save passes ``model-best.pth.tar``,
+    ``dassl/engine/trainer.py:448-455``); the pointer always tracks the
+    latest write, matching ``torchtools.py:65-69``."""
     subdir = osp.join(directory, name)
     mkdir_if_missing(subdir)
-    path = osp.join(subdir, f"model-{epoch}.npz")
+    fname = f"{model_name}.npz" if model_name else f"model-{epoch}.npz"
+    path = osp.join(subdir, fname)
     payload = {("params" + SEP + k): v for k, v in _flatten(params).items()}
     payload["__epoch__"] = np.asarray(epoch)
     if opt_state is not None:
@@ -79,33 +85,58 @@ def save_checkpoint(
     return path
 
 
+def _load_torch_fallback(path, torch_converter):
+    if torch_converter is None:
+        from ovmr_tpu.models.import_torch import load_prompt_learner
+
+        torch_converter = load_prompt_learner
+    params, ep = torch_converter(path)
+    return params, None, ep
+
+
 def load_checkpoint(
     directory: str,
     name: str,
     params_template,
     opt_state_template=None,
     epoch: Optional[int] = None,
+    torch_converter=None,
+    prefer: str = "best",
 ) -> Tuple[Any, Any, int]:
-    """Load by explicit epoch, else follow the pointer file.
+    """Load by explicit epoch; else prefer ``model-best`` then the pointer
+    file — the reference's ``load_model`` defaults to the best model
+    (``mm_…:470-476``); its resume path follows the pointer only
+    (``torchtools.py:118-157`` — pass ``prefer="pointer"``). Native npz
+    and reference ``model.pth.tar`` formats both load (``torch_converter``
+    maps a torch checkpoint to a param pytree; default: prompt_learner).
     Returns (params, opt_state_or_None, epoch)."""
     subdir = osp.join(directory, name)
+    candidates = []
     if epoch is not None:
-        path = osp.join(subdir, f"model-{epoch}.npz")
+        candidates = [f"model-{epoch}.npz", f"model.pth.tar-{epoch}"]
     else:
+        if prefer == "best":
+            candidates = ["model-best.npz", "model-best.pth.tar"]
         pointer = osp.join(subdir, "checkpoint")
-        if not osp.exists(pointer):
+        if osp.exists(pointer):
+            with open(pointer) as f:
+                base = f.read().strip()
+            if base and base not in candidates:
+                candidates.append(base)
+        if not candidates:
             raise FileNotFoundError(f"No checkpoint pointer at {pointer}")
-        with open(pointer) as f:
-            path = osp.join(subdir, f.read().strip())
-    if not osp.exists(path):
-        # reference-format torch checkpoint fallback (model.pth.tar-{epoch})
-        torch_path = osp.join(subdir, f"model.pth.tar-{epoch}")
-        if epoch is not None and osp.exists(torch_path):
-            from ovmr_tpu.models.import_torch import load_prompt_learner
-
-            params, ep = load_prompt_learner(torch_path)
-            return params, None, ep
-        raise FileNotFoundError(f'Model not found at "{path}"')
+    path = None
+    for base in candidates:
+        cand = osp.join(subdir, base)
+        if osp.exists(cand):
+            path = cand
+            break
+    if path is None:
+        raise FileNotFoundError(
+            f'Model not found under "{subdir}" (tried {candidates})'
+        )
+    if not path.endswith(".npz"):
+        return _load_torch_fallback(path, torch_converter)
 
     data = np.load(path)
     flat = {k: data[k] for k in data.files}
@@ -129,11 +160,13 @@ def load_checkpoint(
 
 
 def resume_from_checkpoint(directory, name, params_template, opt_state_template):
-    """Resume latest if present, else return templates unchanged with epoch 0
-    (reference ``resume_from_checkpoint`` semantics)."""
+    """Resume latest (pointer-tracked) if present, else return templates
+    unchanged with epoch 0 (reference ``resume_from_checkpoint``,
+    ``torchtools.py:118-157``)."""
     try:
         params, opt_state, epoch = load_checkpoint(
-            directory, name, params_template, opt_state_template
+            directory, name, params_template, opt_state_template,
+            prefer="pointer",
         )
         print(f"Resumed from epoch {epoch}")
         if opt_state is None:
@@ -214,13 +247,17 @@ def aggregator_to_torch_state_dict(agg_params: dict) -> dict:
     return sd
 
 
-def save_torch_checkpoint(directory: str, name: str, epoch: int, agg_params: dict):
-    """Reference-format ``model.pth.tar-{epoch}`` file."""
+def save_torch_checkpoint(
+    directory: str, name: str, epoch: int, agg_params: dict, model_name: str = ""
+):
+    """Reference-format ``model.pth.tar-{epoch}`` file (or
+    ``{model_name}.pth.tar`` for best-val saves)."""
     import torch
 
     subdir = osp.join(directory, name)
     mkdir_if_missing(subdir)
-    path = osp.join(subdir, f"model.pth.tar-{epoch}")
+    fname = f"{model_name}.pth.tar" if model_name else f"model.pth.tar-{epoch}"
+    path = osp.join(subdir, fname)
     torch.save(
         {"state_dict": aggregator_to_torch_state_dict(agg_params), "epoch": epoch},
         path,

@@ -21,7 +21,6 @@ Re-implements the reference ``trainers/coop_mm_classifier.py``:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -114,12 +113,11 @@ class CoOp(TrainerBase):
         self.classifiers = None
         self._build_steps()
 
-        if cfg.RESUME:
-            self.params, self.opt_state, self.start_epoch = (
-                ckpt.resume_from_checkpoint(
-                    cfg.RESUME, "prompt_learner", self.params, self.opt_state
-                )
-            )
+    def resume_model_if_exist(self, directory) -> int:
+        self.params, self.opt_state, start_epoch = ckpt.resume_from_checkpoint(
+            directory, "prompt_learner", self.params, self.opt_state
+        )
+        return start_epoch
 
     # ------------------------------------------------------------------
     def _expand_ctx(self, ctx):
@@ -208,16 +206,18 @@ class CoOp(TrainerBase):
         )
         return {"loss": float(loss), "lr": self.lr_table[self.epoch]}
 
-    def save_model(self, epoch):
+    def save_model(self, epoch, model_name=""):
         ckpt.save_checkpoint(
-            self.output_dir, "prompt_learner", epoch, self.params, self.opt_state
+            self.output_dir, "prompt_learner", epoch, self.params,
+            self.opt_state, model_name=model_name,
         )
 
     def load_model(self, directory, epoch=None):
         if not directory:
             return
         params, _, ep = ckpt.load_checkpoint(
-            directory, "prompt_learner", self.params, None, epoch=epoch
+            directory, "prompt_learner", self.params, None, epoch=epoch,
+            torch_converter=_ctx_from_torch,
         )
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         print(f'Loaded ctx vectors from "{directory}" (epoch = {ep})')
@@ -269,29 +269,35 @@ class CoOp(TrainerBase):
             )
         )
 
-    def test(self, split: Optional[str] = None):
-        cfg = self.cfg
-        split = split or cfg.TEST.SPLIT
-        loader = self.eval_loader(split)
-
-        mm_f, v_f, t_f = (np.asarray(f, np.float32) for f in self._jit_text_features(self.params))
+    def prepare_test(self):
+        mm_f, v_f, t_f = (
+            np.asarray(f, np.float32)
+            for f in self._jit_text_features(self.params)
+        )
         fusion_weight = self.get_fusion_weight(mm_f, v_f, t_f)
-        scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
-
-        from ovmr_tpu.models.ovmr import eval_logits_np
-
-        classifiers = {
+        self.classifiers = {
             "mm_classifier": mm_f,
             "vision_classifier": v_f,
             "text_classifier": t_f,
             "fusion_weight": fusion_weight,
         }
+        print("(eval mode: CoOp fusion)")
 
-        self.evaluator.reset()
-        print(f"Evaluate on the *{split}* set (CoOp fusion)")
-        for batch in loader:
-            feats = self._features(self.clip_params, batch["img"])
-            probs = eval_logits_np(feats, classifiers, scale, "fusion")
-            self.evaluator.process(probs, batch["label"])
-        results = self.evaluator.evaluate()
-        return list(results.values())[0]
+    def model_inference(self, batch, scale_no=0):
+        # scale_no accepted-and-ignored, like the reference (coop_…:307)
+        from ovmr_tpu.models.ovmr import eval_logits_np
+
+        scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
+        feats = self._features(self.clip_params, batch["img"])
+        return eval_logits_np(feats, self.classifiers, scale, "fusion")
+
+
+def _ctx_from_torch(path):
+    """Reference CoOp ``model.pth.tar-*`` -> our {"ctx"} param pytree."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("state_dict", payload)
+    return {"ctx": np.asarray(sd["ctx"].float().numpy(), np.float32)}, int(
+        payload.get("epoch", 0)
+    )

@@ -153,6 +153,7 @@ class TrainerBase:
         self.start_epoch = 0
         self.max_epoch = cfg.OPTIM.MAX_EPOCH
         self.epoch = 0
+        self.best_result = -np.inf
 
         self.dm = DataManager(cfg)
         self.dm.show_dataset_summary()
@@ -171,12 +172,26 @@ class TrainerBase:
 
     def after_epoch(self):
         last = (self.epoch + 1) == self.max_epoch
+        do_test = not self.cfg.TEST.NO_TEST
+        # best-val model selection (reference SimpleTrainer.after_epoch,
+        # ``dassl/engine/trainer.py:437-455``)
+        if do_test and self.cfg.TEST.FINAL_MODEL == "best_val":
+            curr_result = self.test(split="val")
+            if curr_result > self.best_result:
+                self.best_result = curr_result
+                self.save_model(self.epoch + 1, model_name="model-best")
         freq = self.cfg.TRAIN.CHECKPOINT_FREQ
         if last or (freq > 0 and (self.epoch + 1) % freq == 0):
             self.save_model(self.epoch + 1)
 
-    def save_model(self, epoch):
+    def save_model(self, epoch, model_name=""):
         pass
+
+    def resume_model_if_exist(self, directory) -> int:
+        """Restore state from `directory` when a checkpoint exists; return
+        the epoch to resume from (reference ``before_train``,
+        ``dassl/engine/trainer.py:403-407``)."""
+        return 0
 
     def eval_loader(self, split):
         """val loader for split=='val' when it exists, else test
@@ -197,8 +212,7 @@ class TrainerBase:
         self.init_writer().add_scalar(tag, float(value), global_step)
 
     def train(self):
-        self.time_start = time.time()
-        self.init_writer()
+        self.before_train()
 
         # optional device trace: OVMR_PROFILE_DIR=<dir> captures the first
         # training epoch with jax.profiler (aux tracing subsystem)
@@ -213,12 +227,28 @@ class TrainerBase:
             if profile_dir and self.epoch == self.start_epoch:
                 jax.profiler.stop_trace()
                 profile_dir = None
+        self.after_train()
+
+    def before_train(self):
+        # automatic resume from OUTPUT_DIR, no flag needed (reference
+        # ``before_train``, ``dassl/engine/trainer.py:403-407``)
+        directory = self.cfg.RESUME or self.output_dir
+        self.start_epoch = self.resume_model_if_exist(directory)
+        self.time_start = time.time()
+        self.init_writer()
+
+    def after_train(self):
         print("Finish training")
+        if not self.cfg.TEST.NO_TEST:
+            if self.cfg.TEST.FINAL_MODEL == "best_val":
+                print("Deploy the model with the best val performance")
+                self.load_model(self.output_dir)
+            else:
+                print("Deploy the last-epoch model")
+            self.test()
         elapsed = round(time.time() - self.time_start)
         print(f"Elapsed: {datetime.timedelta(seconds=elapsed)}")
         self._writer.flush()
-        if not self.cfg.TEST.NO_TEST:
-            self.test()
 
     def run_epoch(self):
         losses = MetricMeter()
@@ -264,8 +294,60 @@ class TrainerBase:
     def train_loader(self):
         return self.dm.train_loader_x
 
-    def test(self, split: Optional[str] = None):
+    def load_model(self, directory, epoch=None):
+        pass
+
+    # ---- generic test pipeline ------------------------------------------
+    # (reference SimpleTrainer.test, ``dassl/engine/trainer.py:461-507``)
+    def prepare_test(self):
+        """One-time setup before the eval passes (classifier generation,
+        text-feature precompute, ...)."""
+
+    def model_inference(self, batch, scale_no=0):
+        """Per-batch inference -> class scores [B, n_cls] (numpy). The OVMR
+        models accept and ignore ``scale_no`` exactly like the reference's
+        (``mm_…:294``, ``coop_…:307``)."""
         raise NotImplementedError
+
+    def test(self, split: Optional[str] = None):
+        cfg = self.cfg
+        split = split or cfg.TEST.SPLIT
+        if split == "val" and self.dm.val_loader is not None:
+            loader = self.dm.val_loader
+        else:
+            split = "test"  # in case val_loader is None (reference :470-473)
+            loader = self.dm.test_loader
+        self.prepare_test()
+        print(f"Evaluate on the *{split}* set")
+
+        def eval_pass(scale_no):
+            self.evaluator.reset()
+            for batch in loader:
+                output = self.model_inference(batch, scale_no=scale_no)
+                self.evaluator.process(output, batch["label"])
+            results = self.evaluator.evaluate()
+            for k, v in results.items():
+                self.write_scalar(f"{split}/{k}", v, self.epoch)
+            return results
+
+        if not cfg.DATASET.REGION_AUG:
+            results = eval_pass(0)
+        else:
+            # multi-scale region eval: each scale twice — single text
+            # embedding then mean text embeddings (reference ``:488-505``)
+            scales = list(cfg.DATASET.REGION_SCALE)
+            for test_no in range(len(scales) * 2):
+                kind = (
+                    "mean text embeddings"
+                    if test_no >= len(scales)
+                    else "corresponding single text embedding"
+                )
+                print(
+                    "## eval region scale %d using %s"
+                    % (scales[test_no % len(scales)], kind)
+                )
+                results = eval_pass(test_no)
+        return list(results.values())[0]
 
 
 @TRAINER_REGISTRY.register()
@@ -371,12 +453,13 @@ class MM_CLS_OP(TrainerBase):
         self.py_rng = np.random.default_rng(max(cfg.SEED, 0))
         self.classifiers = None
 
-        if cfg.RESUME:
-            self.agg_params, self.opt_state, self.start_epoch = (
-                ckpt.resume_from_checkpoint(
-                    cfg.RESUME, "prompt_learner", self.agg_params, self.opt_state
-                )
+    def resume_model_if_exist(self, directory) -> int:
+        self.agg_params, self.opt_state, start_epoch = (
+            ckpt.resume_from_checkpoint(
+                directory, "prompt_learner", self.agg_params, self.opt_state
             )
+        )
+        return start_epoch
 
     # ---- training -----------------------------------------------------
     @property
@@ -450,18 +533,23 @@ class MM_CLS_OP(TrainerBase):
             sub,
             split_point,
         )
+        # generator weights changed: any cached classifiers are stale
+        # (matters for best-val testing between epochs)
+        self.classifiers = None
         return {"loss": float(loss), "lr": self.lr_table[self.epoch]}
 
-    def save_model(self, epoch):
+    def save_model(self, epoch, model_name=""):
         ckpt.save_checkpoint(
             self.output_dir,
             "prompt_learner",
             epoch,
             self.agg_params,
             self.opt_state,
+            model_name=model_name,
         )
         ckpt.save_torch_checkpoint(
-            self.output_dir, "prompt_learner", epoch, self.agg_params
+            self.output_dir, "prompt_learner", epoch, self.agg_params,
+            model_name=model_name,
         )
 
     def load_model(self, directory, epoch=None):
@@ -622,7 +710,7 @@ class MM_CLS_OP(TrainerBase):
             self._jit_heads_fn = jax.jit(heads)
         return self._jit_heads_fn
 
-    def test(self, split: Optional[str] = None):
+    def prepare_test(self):
         cfg = self.cfg
         if cfg.EVAL_MODE not in ("text", "vision", "multimodal", "fusion"):
             # validate before the (expensive) classifier generation
@@ -630,21 +718,15 @@ class MM_CLS_OP(TrainerBase):
                 f"unknown EVAL_MODE {cfg.EVAL_MODE!r}; expected "
                 "text | vision | multimodal | fusion"
             )
-        split = split or cfg.TEST.SPLIT
-        loader = self.eval_loader(split)
         if self.classifiers is None:
             self.generate_classifiers()
+        print(f"(eval mode: {cfg.EVAL_MODE})")
 
+    def model_inference(self, batch, scale_no=0):
+        # scale_no accepted-and-ignored, like the reference model (mm_…:294)
         logit_scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
-        mode = cfg.EVAL_MODE
-
-        self.evaluator.reset()
-        print(f"Evaluate on the *{split}* set (mode={mode})")
-        for batch in loader:
-            feats = self._features(self.serving_params, batch["img"])
-            # classifier matmul + softmax on host: tiny vs a device dispatch
-            probs = ovmr.eval_logits_np(feats, self.classifiers, logit_scale, mode)
-            self.evaluator.process(probs, batch["label"])
-
-        results = self.evaluator.evaluate()
-        return list(results.values())[0]
+        feats = self._features(self.serving_params, batch["img"])
+        # classifier matmul + softmax on host: tiny vs a device dispatch
+        return ovmr.eval_logits_np(
+            feats, self.classifiers, logit_scale, self.cfg.EVAL_MODE
+        )

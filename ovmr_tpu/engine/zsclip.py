@@ -11,8 +11,6 @@ snapshot — it imports a missing module — but is part of the paper baseline):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,29 +55,25 @@ class ZeroshotCLIP(TrainerBase):
 
     def train(self):
         print("ZeroshotCLIP has nothing to train; running test()")
+        self.init_writer()
         return self.test()
 
-    def test(self, split: Optional[str] = None):
-        from ovmr_tpu.engine.trainer import make_feature_extractor
+    def prepare_test(self):
+        if getattr(self, "_features", None) is None:
+            from ovmr_tpu.engine.trainer import make_feature_extractor
 
-        cfg = self.cfg
-        split = split or cfg.TEST.SPLIT
-        loader = self.eval_loader(split)
+            cfg = self.cfg
+            self._features = make_feature_extractor(
+                self.clip_cfg, self.attn_fn, self.dtype,
+                cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+                cfg.DATALOADER.TEST.BATCH_SIZE,
+            )
+        print("(eval mode: zero-shot)")
+
+    def model_inference(self, batch, scale_no=0):
         logit_scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
-        features = make_feature_extractor(
-            self.clip_cfg, self.attn_fn, self.dtype,
-            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
-            cfg.DATALOADER.TEST.BATCH_SIZE,
-        )
-
-        self.evaluator.reset()
-        print(f"Evaluate on the *{split}* set (zero-shot)")
-        for batch in loader:
-            feats = features(self.clip_params, batch["img"])
-            logits = logit_scale * feats @ self.text_classifier.T
-            self.evaluator.process(logits, batch["label"])
-        results = self.evaluator.evaluate()
-        return list(results.values())[0]
+        feats = self._features(self.clip_params, batch["img"])
+        return logit_scale * feats @ self.text_classifier.T
 
     def load_model(self, directory, epoch=None):
         pass  # nothing to load
