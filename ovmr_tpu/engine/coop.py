@@ -292,6 +292,11 @@ class CoOp(TrainerBase):
         return eval_logits_np(feats, self.classifiers, scale, "fusion")
 
 
+# reachable under the reference's config-directory name too: scripts that
+# pair TRAINER=MM_CLS with configs/trainers/MM_CLS/*.yaml resolve here
+TRAINER_REGISTRY.register_alias("MM_CLS", CoOp)
+
+
 def _ctx_from_torch(path):
     """Reference CoOp ``model.pth.tar-*`` -> our {"ctx"} param pytree."""
     import torch

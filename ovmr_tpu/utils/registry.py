@@ -52,6 +52,13 @@ class Registry:
         self._do_register(obj.__name__, obj, force=force)
         return obj
 
+    def register_alias(self, name: str, obj: Any, force: bool = False) -> Any:
+        """Register `obj` under an additional explicit name (e.g. the
+        stage-2 trainer is class ``CoOp`` but also reachable as ``MM_CLS``,
+        the reference's config-directory name for it)."""
+        self._do_register(name, obj, force=force)
+        return obj
+
     def get(self, name: str) -> Any:
         if name not in self._obj_map:
             raise KeyError(
