@@ -93,6 +93,17 @@ def make_feature_extractor(
     mean, std = tuple(mean), tuple(std)
     post = l2_normalize if unit_norm else (lambda x: x)
 
+    # with a mesh, every batch pads up to a multiple of the device count so
+    # the single compiled program always shards over 'data' — never a silent
+    # replicated fallback
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        padded = pad_to_multiple(batch_size, mesh.devices.size)
+        print(
+            f"WARNING: eval batch {batch_size} not divisible by "
+            f"{mesh.devices.size} devices; padding compiled batch to {padded}"
+        )
+        batch_size = padded
+
     f32 = jax.jit(
         lambda p, x: post(
             jclip.encode_image(p, clip_cfg, x, attn_fn=attn_fn)
@@ -111,7 +122,7 @@ def make_feature_extractor(
     )
 
     def place(x):
-        if mesh is not None and x.shape[0] % mesh.devices.size == 0:
+        if mesh is not None:  # batch_size is a device multiple (padded above)
             from ovmr_tpu.parallel import shard_batch
 
             return shard_batch(mesh, x)
@@ -515,12 +526,23 @@ class MM_CLS_OP(TrainerBase):
             if images.dtype == np.uint8
             else jnp.asarray(images, self.dtype)
         )
-        if self.mesh is not None and num_cls % self.mesh.devices.size == 0:
-            from ovmr_tpu.parallel import shard_batch
+        if self.mesh is not None:
+            if num_cls % self.mesh.devices.size == 0:
+                from ovmr_tpu.parallel import shard_batch
 
-            images_dev = shard_batch(self.mesh, images_dev)
-            ptok = shard_batch(self.mesh, ptok)
-            eot = shard_batch(self.mesh, eot)
+                images_dev = shard_batch(self.mesh, images_dev)
+                ptok = shard_batch(self.mesh, ptok)
+                eot = shard_batch(self.mesh, eot)
+            elif not getattr(self, "_warned_unsharded", False):
+                # tail batches with a ragged class count fall back to
+                # replicated execution — loud, not silent (padding the class
+                # axis would corrupt the arange-label CE loss)
+                self._warned_unsharded = True
+                print(
+                    f"WARNING: batch with {num_cls} classes not divisible by "
+                    f"{self.mesh.devices.size} devices runs replicated; "
+                    "choose BATCH_SIZE so classes-per-batch divides the mesh"
+                )
 
         self.agg_params, self.opt_state, loss = self.train_step(
             self.agg_params,

@@ -53,3 +53,35 @@ def replicate(mesh: Mesh, tree):
 
 def pad_to_multiple(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
+
+
+def tower_param_shardings(mesh: Mesh, params):
+    """Tensor-parallel shardings for CLIP tower params over the 'model'
+    axis (Megatron-style MLP split: c_fc column-parallel, c_proj
+    row-parallel; XLA/GSPMD inserts the reduce automatically). Everything
+    else replicates, so with model=1 this is plain replication.
+
+    Block leaf layouts (see ``models/import_torch._blocks_from_sd``):
+      c_fc_w [L, D, 4D] -> shard 4D;  c_fc_b [L, 4D] -> shard 4D;
+      c_proj_w [L, 4D, D] -> shard 4D (contracted dim, row-parallel).
+    """
+    msize = mesh.shape["model"]
+
+    def spec_for(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if msize > 1 and hasattr(leaf, "shape"):
+            if name == "c_fc_w" and leaf.shape[-1] % msize == 0:
+                return NamedSharding(mesh, P(None, None, "model"))
+            if name == "c_fc_b" and leaf.shape[-1] % msize == 0:
+                return NamedSharding(mesh, P(None, "model"))
+            if name == "c_proj_w" and leaf.shape[1] % msize == 0:
+                return NamedSharding(mesh, P(None, "model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def place_tower_params(mesh: Mesh, params):
+    """device_put CLIP tower params with :func:`tower_param_shardings`."""
+    shardings = tower_param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
