@@ -1,21 +1,24 @@
-"""Benchmark: CLIP ViT-B/16 encode + classify throughput on one TPU chip.
+"""Benchmark: OVMR hot paths on one TPU chip. Prints ONE JSON line.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": imgs/sec, "unit": "img/s/chip", "vs_baseline": x}
+Three metrics, all measured in the same run (no hard-coded constants):
+  - eval encode+classify (ViT-B/16 bf16, batch 256)  <- headline value
+  - train step (frozen towers + aggregator grad, batch 1536 = 192cls x 8ins)
+  - classifier generation (1024 classes x 16 shots, mm+v+t heads + fusion)
 
 The reference publishes no throughput numbers (BASELINE.json.published = {}),
-so the baseline is the NAIVE path of this framework — fp32 params with
-plain-XLA attention, i.e. the direct translation of the torch module —
-measured on this chip with the same protocol:
-  fp32-xla, batch 256, sustained: 177.3 ms/batch -> 1444 img/s
-(recorded 2026-08-16 on TPU v5e via `python bench.py --full`, which
-re-measures it; the default run skips the ~5-minute fp32 compile).
+so vs_baseline compares the headline against this framework's NAIVE path —
+fp32 params with plain-XLA attention, the direct translation of the torch
+module — measured in the SAME process right before the bf16 run (interleaved
+A/B is the only timing methodology that survives this chip's relay noise;
+see docs/DESIGN.md). Compiles amortize across runs via the persistent
+compilation cache.
 
-Platform note: this environment reaches the chip through a relay where each
-dispatch costs ~25-30 ms and `block_until_ready` does not synchronize, so
-timings queue several steps and fetch a scalar once.
+Platform note: the relay costs ~25-30 ms per dispatch and
+`block_until_ready` does not synchronize, so timing loops queue several
+steps and fetch one scalar at the end.
 """
 
+import gc
 import json
 import sys
 import time
@@ -24,18 +27,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_IMG_PER_SEC = 1444.0  # fp32 + XLA attention, batch 256, see docstring
 
-
-def sustained_ms(f, args, iters=8, rounds=3):
-    """Best-of-N rounds: the relay to this chip shows large run-to-run
-    variance (shared pool); the minimum is the least-contended estimate."""
-    _ = float(f(*args))  # compile + first run
+def sustained_ms(step_fn, iters=8, rounds=3):
+    """Best-of-N rounds of (queue `iters` calls, sync once via scalar fetch).
+    `step_fn()` must return a jax scalar to fetch. The minimum round is the
+    least-contended estimate on this shared-pool relay."""
+    _ = float(step_fn())  # compile + first run
     best = float("inf")
     for _round in range(rounds):
         t0 = time.perf_counter()
-        sums = [f(*args) for _ in range(iters)]
-        _ = np.asarray(jnp.stack(sums))
+        out = [step_fn() for _ in range(iters)]
+        _ = np.asarray(jnp.stack(out))
         best = min(best, (time.perf_counter() - t0) / iters * 1e3)
     return best
 
@@ -49,9 +51,8 @@ def main():
     cfg = jclip.VIT_B16
     key = jax.random.PRNGKey(0)
     batch, n_classes = 256, 1000
+    quick = "--quick" in sys.argv  # skip the fp32 baseline (debug only)
 
-    params16 = jclip.init_params(key, cfg, dtype=jnp.bfloat16)
-    images16 = jax.random.normal(key, (batch, 3, 224, 224), jnp.bfloat16)
     classifier = l2_normalize(
         jax.random.normal(key, (n_classes, cfg.embed_dim), jnp.float32)
     )
@@ -63,26 +64,115 @@ def main():
         return jnp.sum(jnp.argmax(100.0 * feats @ cls.T, -1))
 
     fast = jax.jit(encode_classify)
-    t_fast = sustained_ms(fast, (params16, images16, classifier))
-    imgs_per_sec = batch / (t_fast / 1e3)
 
-    baseline = BASELINE_IMG_PER_SEC
-    if "--full" in sys.argv:
+    # ---- baseline: fp32 naive path, measured in-run ----------------------
+    baseline_img_s = None
+    if not quick:
         params32 = jclip.init_params(key, cfg, dtype=jnp.float32)
-        images32 = images16.astype(jnp.float32)
-        t_naive = sustained_ms(fast, (params32, images32, classifier), iters=5)
-        baseline = batch / (t_naive / 1e3)
-
-    print(
-        json.dumps(
-            {
-                "metric": "ViT-B/16 encode+classify throughput, bf16 (baseline: fp32 naive path, same chip)",
-                "value": round(imgs_per_sec, 1),
-                "unit": "img/s/chip",
-                "vs_baseline": round(imgs_per_sec / baseline, 3),
-            }
+        images32 = jax.random.normal(key, (batch, 3, 224, 224), jnp.float32)
+        t_naive = sustained_ms(
+            lambda: fast(params32, images32, classifier), iters=5, rounds=2
         )
+        baseline_img_s = batch / (t_naive / 1e3)
+        del params32, images32
+        gc.collect()
+
+    # ---- headline: bf16 eval encode+classify -----------------------------
+    params16 = jclip.init_params(key, cfg, dtype=jnp.bfloat16)
+    images16 = jax.random.normal(key, (batch, 3, 224, 224), jnp.bfloat16)
+    t_fast = sustained_ms(lambda: fast(params16, images16, classifier))
+    eval_img_s = batch / (t_fast / 1e3)
+    del images16
+    gc.collect()
+
+    # ---- train step: 192 classes x 8 instances (shipped config batch) ----
+    from ovmr_tpu.engine.optimizers import build_optimizer
+    from ovmr_tpu.engine.train_step import make_train_step
+    from ovmr_tpu.models import ovmr
+    from ovmr_tpu.models.aggregator import init_aggregator
+    from ovmr_tpu.utils.defaults import get_cfg_default
+
+    num_cls, n_ins = 192, 8
+    train_batch = num_cls * n_ins
+    agg = init_aggregator(key, width=cfg.embed_dim, layers=4, n_ctx=2)
+    optimizer = build_optimizer(get_cfg_default().OPTIM)
+    opt_state = optimizer.init(agg)
+    step = make_train_step(cfg, optimizer, dropout=0.1, attn_fn=attention_xla)
+
+    ptok, eot, vtok = ovmr.build_prompt_tokens(
+        [f"object {i:03d}" for i in range(num_cls)]
     )
+    ptok_d, eot_d, vtok_d = (
+        jnp.asarray(ptok), jnp.asarray(eot), jnp.asarray(vtok)
+    )
+    train_images = jax.random.normal(
+        key, (num_cls, n_ins, 3, 224, 224), jnp.bfloat16
+    )
+
+    state = {"agg": agg, "opt": opt_state, "rng": jax.random.PRNGKey(1)}
+
+    def train_step_once():
+        state["rng"], sub = jax.random.split(state["rng"])
+        state["agg"], state["opt"], loss = step(
+            state["agg"], state["opt"], params16, train_images,
+            ptok_d, eot_d, vtok_d, sub, 4,
+        )
+        return loss
+
+    t_train = sustained_ms(train_step_once, iters=4, rounds=3)
+    train_img_s = train_batch / (t_train / 1e3)
+    del train_images
+    gc.collect()
+
+    # ---- classifier generation: 1024 classes x 16 shots ------------------
+    gen_cls, shots = 1024, 16
+    feats = l2_normalize(
+        jax.random.normal(key, (gen_cls, shots, cfg.embed_dim), jnp.bfloat16)
+    )
+    gptok, geot, _ = ovmr.build_prompt_tokens(
+        [f"thing {i:04d}" for i in range(gen_cls)]
+    )
+    gptok_d, geot_d = jnp.asarray(gptok), jnp.asarray(geot)
+
+    @jax.jit
+    def gen_once(clip_p, agg_p, f, pt, e):
+        t_cls = ovmr.text_classifier(clip_p, cfg, pt, attn_fn=attention_xla)
+        out = ovmr.generate_classifiers_from_feats(
+            clip_p, cfg, agg_p, f, pt, e, vtok_d, t_cls, eval_tau=10.0,
+            attn_fn=attention_xla,
+        )
+        return (
+            jnp.sum(out["mm_classifier"].astype(jnp.float32))
+            + jnp.sum(out["fusion_weight"])
+        )
+
+    t_gen = sustained_ms(
+        lambda: gen_once(params16, agg, feats, gptok_d, geot_d),
+        iters=4, rounds=3,
+    )
+    gen_s_per_1024 = t_gen / 1e3
+
+    result = {
+        "metric": (
+            "ViT-B/16 encode+classify throughput, bf16 "
+            "(baseline: fp32 naive path measured same-run, same chip)"
+        ),
+        "value": round(eval_img_s, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": (
+            round(eval_img_s / baseline_img_s, 3) if baseline_img_s else None
+        ),
+        "extra": {
+            "baseline_fp32_img_s": (
+                round(baseline_img_s, 1) if baseline_img_s else None
+            ),
+            "train_step_img_s": round(train_img_s, 1),
+            "train_step_ms_batch1536": round(t_train, 1),
+            "classifier_gen_s_per_1024cls": round(gen_s_per_1024, 3),
+            "eval_ms_batch256": round(t_fast, 1),
+        },
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
