@@ -51,6 +51,11 @@ class CoOp(TrainerBase):
         self.attn_fn = make_attn_fn(
             cfg.TPU.USE_PALLAS_ATTENTION if jax.default_backend() == "tpu" else False
         )
+        self.block_fn = None
+        if cfg.TPU.USE_FUSED_BLOCK and jax.default_backend() == "tpu":
+            from ovmr_tpu.ops.block_fused import fused_residual_block
+
+            self.block_fn = fused_residual_block
         clip_params, self.clip_cfg = load_or_init_clip(cfg)
         self.clip_params = jclip.cast_params(
             jax.tree_util.tree_map(jnp.asarray, clip_params), self.dtype
@@ -144,7 +149,7 @@ class CoOp(TrainerBase):
         mm, v, t = self._build_prompts(params)
         enc = partial(
             jclip.encode_text_embeds, self.clip_params, self.clip_cfg,
-            attn_fn=self.attn_fn,
+            attn_fn=self.attn_fn, block_fn=self.block_fn,
         )
         shift = self.voken_len
         mm_f = l2_normalize(enc(mm, self.eot_idx + shift))
@@ -161,7 +166,8 @@ class CoOp(TrainerBase):
         def step(params, opt_state, clip_params, images, labels, prompt_ind):
             feats = l2_normalize(
                 jclip.encode_image(
-                    clip_params, self.clip_cfg, images, attn_fn=self.attn_fn
+                    clip_params, self.clip_cfg, images, attn_fn=self.attn_fn,
+                    block_fn=self.block_fn,
                 )
             ).astype(jnp.float32)
             scale = jnp.exp(clip_params["logit_scale"]).astype(jnp.float32)
@@ -191,6 +197,7 @@ class CoOp(TrainerBase):
             self.clip_cfg, self.attn_fn, self.dtype,
             self.cfg.INPUT.PIXEL_MEAN, self.cfg.INPUT.PIXEL_STD,
             self.cfg.DATALOADER.TEST.BATCH_SIZE,
+            block_fn=self.block_fn,
         )
 
     # ------------------------------------------------------------------

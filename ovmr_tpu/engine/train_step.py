@@ -38,6 +38,7 @@ def make_train_step(
     dropout: float = 0.1,
     attn_fn=attention_xla,
     augment: Optional[dict] = None,
+    block_fn=None,
 ):
     """`augment`: when set, the step consumes RAW uint8 class-grouped batches
     ``[num_cls, n_ins, S, S, 3]`` and runs the full on-device augmentation
@@ -80,12 +81,14 @@ def make_train_step(
 
         q_feats = l2_normalize(
             jclip.encode_image(
-                clip_params, clip_cfg, query, attn_fn=attn_fn, layout=layout
+                clip_params, clip_cfg, query, attn_fn=attn_fn, layout=layout,
+                block_fn=block_fn,
             )
         )
         e_feats = l2_normalize(
             jclip.encode_image(
-                clip_params, clip_cfg, exemplar, attn_fn=attn_fn, layout=layout
+                clip_params, clip_cfg, exemplar, attn_fn=attn_fn, layout=layout,
+                block_fn=block_fn,
             )
         ).reshape(num_cls, n_ins - split_point, -1)
 
@@ -112,6 +115,7 @@ def make_train_step(
                 dropout=dropout,
                 rng=rng,
                 attn_fn=attn_fn,
+                block_fn=block_fn,
             )
             qf = q_feats.astype(jnp.float32)
             mm_logits = logit_scale * qf @ mm_cls.astype(jnp.float32).T

@@ -78,7 +78,8 @@ def load_or_init_clip(cfg):
 
 
 def make_feature_extractor(
-    clip_cfg, attn_fn, dtype, mean, std, batch_size, mesh=None, unit_norm=True
+    clip_cfg, attn_fn, dtype, mean, std, batch_size, mesh=None,
+    unit_norm=True, block_fn=None,
 ):
     """Returns encode(clip_params, images_np) -> fp32 features [n, D]
     (L2-normalized unless unit_norm=False — e.g. the lpclip feature dump
@@ -106,7 +107,7 @@ def make_feature_extractor(
 
     f32 = jax.jit(
         lambda p, x: post(
-            jclip.encode_image(p, clip_cfg, x, attn_fn=attn_fn)
+            jclip.encode_image(p, clip_cfg, x, attn_fn=attn_fn, block_fn=block_fn)
         )
     )
     u8 = jax.jit(
@@ -117,6 +118,7 @@ def make_feature_extractor(
                 normalize_u8(x, mean, std, dtype),
                 attn_fn=attn_fn,
                 layout="NHWC",
+                block_fn=block_fn,
             )
         )
     )
@@ -372,6 +374,11 @@ class MM_CLS_OP(TrainerBase):
         self.attn_fn = make_attn_fn(
             cfg.TPU.USE_PALLAS_ATTENTION if jax.default_backend() == "tpu" else False
         )
+        self.block_fn = None
+        if cfg.TPU.USE_FUSED_BLOCK and jax.default_backend() == "tpu":
+            from ovmr_tpu.ops.block_fused import fused_residual_block
+
+            self.block_fn = fused_residual_block
 
         clip_params, self.clip_cfg = load_or_init_clip(cfg)
         self.clip_params = jclip.cast_params(
@@ -444,6 +451,7 @@ class MM_CLS_OP(TrainerBase):
             dropout=0.1,
             attn_fn=self.attn_fn,
             augment=augment,
+            block_fn=self.block_fn,
         )
         # mesh-parallel placement whenever more than one device is visible
         self.mesh = None
@@ -459,6 +467,7 @@ class MM_CLS_OP(TrainerBase):
             cfg.INPUT.PIXEL_STD,
             cfg.DATALOADER.TEST.BATCH_SIZE,
             mesh=self.mesh,
+            block_fn=self.block_fn,
         )
         self.rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 1)
         self.py_rng = np.random.default_rng(max(cfg.SEED, 0))
@@ -700,7 +709,8 @@ class MM_CLS_OP(TrainerBase):
         if not hasattr(self, "_jit_text_classifier_fn"):
             self._jit_text_classifier_fn = jax.jit(
                 lambda p, tok: ovmr.text_classifier(
-                    p, self.clip_cfg, tok, attn_fn=self.attn_fn
+                    p, self.clip_cfg, tok, attn_fn=self.attn_fn,
+                    block_fn=self.block_fn,
                 )
             )
         return self._jit_text_classifier_fn
@@ -727,6 +737,7 @@ class MM_CLS_OP(TrainerBase):
                     vis_embeds,
                     eot,
                     attn_fn=self.attn_fn,
+                    block_fn=self.block_fn,
                 )
 
             self._jit_heads_fn = jax.jit(heads)

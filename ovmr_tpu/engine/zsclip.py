@@ -34,6 +34,11 @@ class ZeroshotCLIP(TrainerBase):
         self.attn_fn = make_attn_fn(
             cfg.TPU.USE_PALLAS_ATTENTION if jax.default_backend() == "tpu" else False
         )
+        self.block_fn = None
+        if cfg.TPU.USE_FUSED_BLOCK and jax.default_backend() == "tpu":
+            from ovmr_tpu.ops.block_fused import fused_residual_block
+
+            self.block_fn = fused_residual_block
         clip_params, self.clip_cfg = load_or_init_clip(cfg)
         self.clip_params = jclip.cast_params(
             jax.tree_util.tree_map(jnp.asarray, clip_params), self.dtype
@@ -43,7 +48,10 @@ class ZeroshotCLIP(TrainerBase):
         templates = self.get_templates()
 
         encode = jax.jit(
-            lambda p, t: jclip.encode_text(p, self.clip_cfg, t, attn_fn=self.attn_fn)
+            lambda p, t: jclip.encode_text(
+                p, self.clip_cfg, t, attn_fn=self.attn_fn,
+                block_fn=self.block_fn,
+            )
         )
         feats_sum = None
         for template in templates:
@@ -67,6 +75,7 @@ class ZeroshotCLIP(TrainerBase):
                 self.clip_cfg, self.attn_fn, self.dtype,
                 cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
                 cfg.DATALOADER.TEST.BATCH_SIZE,
+                block_fn=self.block_fn,
             )
         print("(eval mode: zero-shot)")
 

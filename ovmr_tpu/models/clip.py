@@ -178,11 +178,19 @@ def run_blocks(
     n_head: int,
     mask: Optional[jax.Array] = None,
     attn_fn=attention_xla,
+    block_fn=None,
 ) -> jax.Array:
-    """lax.scan over the stacked transformer blocks."""
+    """lax.scan over the stacked transformer blocks.
+
+    ``block_fn(h, layer_params, n_head, mask)`` overrides the whole
+    residual block (the fused Pallas path, ops/block_fused); default is the
+    XLA-math block parameterized by ``attn_fn``."""
 
     def body(h, layer_params):
-        h = residual_attention_block(h, layer_params, n_head, mask, attn_fn)
+        if block_fn is not None:
+            h = block_fn(h, layer_params, n_head, mask)
+        else:
+            h = residual_attention_block(h, layer_params, n_head, mask, attn_fn)
         return h, None
 
     out, _ = jax.lax.scan(body, x, blocks)
@@ -242,6 +250,7 @@ def encode_image(
     images: jax.Array,
     attn_fn=attention_xla,
     layout: str = "NCHW",
+    block_fn=None,
 ) -> jax.Array:
     """Image tower forward. ViT: conv patchify -> +cls/pos -> ln_pre ->
     blocks (optionally tile-padded sequence) -> ln_post[0] @ proj
@@ -273,7 +282,10 @@ def encode_image(
         x = jnp.pad(x, ((0, 0), (0, lp - real), (0, 0)))
     mask = vision_pad_mask(real, lp)
 
-    x = run_blocks(x, v["blocks"], cfg.vision_heads, mask=mask, attn_fn=attn_fn)
+    x = run_blocks(
+        x, v["blocks"], cfg.vision_heads, mask=mask, attn_fn=attn_fn,
+        block_fn=block_fn,
+    )
     pooled = layer_norm(x[:, 0, :], v["ln_post_scale"], v["ln_post_bias"])
     return jnp.dot(
         pooled, v["proj"].astype(dtype), preferred_element_type=jnp.float32
@@ -281,7 +293,8 @@ def encode_image(
 
 
 def encode_text(
-    params: dict, cfg: CLIPConfig, tokens: jax.Array, attn_fn=attention_xla
+    params: dict, cfg: CLIPConfig, tokens: jax.Array, attn_fn=attention_xla,
+    block_fn=None,
 ) -> jax.Array:
     """Text forward on token ids [B, 77]; EOT feature via argmax gather
     (reference ``clip/model.py:820-833``)."""
@@ -289,7 +302,9 @@ def encode_text(
     dtype = t["token_embedding"].dtype
     x = jnp.take(t["token_embedding"], tokens, axis=0).astype(dtype)
     eos_index = jnp.argmax(tokens, axis=-1)
-    return encode_text_embeds(params, cfg, x, eos_index, attn_fn=attn_fn)
+    return encode_text_embeds(
+        params, cfg, x, eos_index, attn_fn=attn_fn, block_fn=block_fn
+    )
 
 
 def encode_text_embeds(
@@ -298,6 +313,7 @@ def encode_text_embeds(
     embeds: jax.Array,
     eos_index: jax.Array,
     attn_fn=attention_xla,
+    block_fn=None,
 ) -> jax.Array:
     """Prompt-side text forward on pre-built embeddings [B, L, D]:
     positional embedding sliced to L, explicit EOT gather index
@@ -314,7 +330,10 @@ def encode_text_embeds(
         x = jnp.pad(x, ((0, 0), (0, lp - length), (0, 0)))
     mask = causal_mask(lp)
 
-    x = run_blocks(x, t["blocks"], cfg.transformer_heads, mask=mask, attn_fn=attn_fn)
+    x = run_blocks(
+        x, t["blocks"], cfg.transformer_heads, mask=mask, attn_fn=attn_fn,
+        block_fn=block_fn,
+    )
     x = layer_norm(x, t["ln_final_scale"], t["ln_final_bias"])
     pooled = jnp.take_along_axis(
         x, eos_index.reshape(-1, 1, 1).astype(jnp.int32), axis=1

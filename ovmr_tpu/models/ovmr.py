@@ -99,6 +99,7 @@ def classifier_heads(
     dropout: float = 0.0,
     rng: Optional[jax.Array] = None,
     attn_fn=attention_xla,
+    block_fn=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Exemplar features -> (mm_classifier [N,D], v_classifier [N,D], vokens).
 
@@ -117,10 +118,12 @@ def classifier_heads(
     v_eos = jnp.full_like(mm_eos, 1 + n_ctx)
 
     mm_feats = jclip.encode_text_embeds(
-        clip_params, clip_cfg, mm_prompts, mm_eos, attn_fn=attn_fn
+        clip_params, clip_cfg, mm_prompts, mm_eos, attn_fn=attn_fn,
+        block_fn=block_fn,
     )
     v_feats = jclip.encode_text_embeds(
-        clip_params, clip_cfg, v_prompts, v_eos, attn_fn=attn_fn
+        clip_params, clip_cfg, v_prompts, v_eos, attn_fn=attn_fn,
+        block_fn=block_fn,
     )
     # normalize -> (mean over the single prompt variant) -> normalize,
     # mirroring get_mm_v_feats (``mm_…:200-212``); with one variant the double
@@ -135,11 +138,14 @@ def text_classifier(
     clip_cfg: jclip.CLIPConfig,
     prompt_tokens: jax.Array,
     attn_fn=attention_xla,
+    block_fn=None,
 ) -> jax.Array:
     """Frozen zero-shot text classifier: encode ``"a {name}."`` per class and
     L2-normalize (reference ``mm_…:118-125``; one prompt per class, so the
     prompt-group mean is the identity)."""
-    feats = jclip.encode_text(clip_params, clip_cfg, prompt_tokens, attn_fn=attn_fn)
+    feats = jclip.encode_text(
+        clip_params, clip_cfg, prompt_tokens, attn_fn=attn_fn, block_fn=block_fn
+    )
     return l2_normalize(feats)
 
 
@@ -159,6 +165,7 @@ def generate_classifiers_from_feats(
     eval_tau: float,
     class_mask: Optional[jax.Array] = None,
     attn_fn=attention_xla,
+    block_fn=None,
 ) -> dict:
     """All-class classifier generation + preference fusion.
 
@@ -194,6 +201,7 @@ def generate_classifiers_from_feats(
         dropout=0.0,
         rng=None,
         attn_fn=attn_fn,
+        block_fn=block_fn,
     )
 
     # cross-validate the three classifiers on the exemplars themselves

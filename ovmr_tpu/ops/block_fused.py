@@ -1,0 +1,331 @@
+"""Block-level Pallas fusion for the CLIP transformer layers.
+
+Two kernels replace the whole pre-LN residual block
+(reference ``clip/model.py:167-217``):
+
+- **attention half** (`fused_attn_half`): LN1 -> packed QKV matmul ->
+  per-head attention (bf16 MXU matmuls, fp32 softmax) -> output projection
+  -> residual add, one VMEM-resident program per G-image tile. The [L, L]
+  score matrices never touch HBM, and neither does the LN1 output or the
+  QKV tensor.
+- **MLP half** (`fused_mlp_half`): LN2 -> c_fc -> QuickGELU -> c_proj ->
+  residual add. The 4x-width hidden activation (310 MB/layer at ViT-B
+  batch 256) lives only in VMEM.
+
+vs the round-1 attention-only kernel (ops/attention.py), which lost to XLA
+in-program: matmuls here keep bf16 operands with fp32 accumulation (the old
+kernel upcast Q/K to fp32 and paid the fp32 MXU rate), the grid works on
+G-image tiles instead of one (batch*head) slice per program, and the whole
+block's intermediates stay on-chip instead of just the attention ones.
+
+Numerics contract is identical to ops/layers.residual_attention_block
+(fp32 LayerNorm, fp32 matmul accumulation, fp32 softmax, QuickGELU in the
+activation dtype) — parity-tested against it. Differentiable via custom
+VJP that recomputes the backward with the XLA-math path (same trick as
+ops/attention.py; the text tower is differentiated through in training).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(batch: int, limit: int) -> int:
+    """Largest divisor of `batch` that is <= limit (>=1)."""
+    g = min(batch, max(limit, 1))
+    while batch % g:
+        g -= 1
+    return g
+
+
+def _ln_f32(x, scale_ref, bias_ref, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    centered = xf - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    y = centered * jax.lax.rsqrt(var + eps)
+    return y * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(
+        jnp.float32
+    )
+
+
+def _attn_half_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, lns_ref, lnb_ref,
+    o_ref, *, n_head: int, mask_ref=None,
+):
+    x = x_ref[...]  # [G, L, D]
+    g, l, d = x.shape
+    dtype = x.dtype
+    dh = d // n_head
+    scale = dh ** -0.5
+
+    xln = _ln_f32(x, lns_ref, lnb_ref).astype(dtype)
+    qkv = jax.lax.dot_general(
+        xln.reshape(g * l, d),
+        wqkv_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(dtype)
+    qkv = qkv.reshape(g, l, 3 * d)
+
+    head_outs = []
+    for h in range(n_head):
+        qh = qkv[:, :, h * dh : (h + 1) * dh]
+        kh = qkv[:, :, d + h * dh : d + (h + 1) * dh]
+        vh = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        scores = (
+            jax.lax.dot_general(
+                qh, kh,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # [G, L, L] fp32 — never leaves VMEM
+        if mask_ref is not None:
+            scores = scores + mask_ref[...].astype(jnp.float32)[None]
+        probs = jax.nn.softmax(scores, axis=-1)
+        head_outs.append(
+            jax.lax.dot_general(
+                probs.astype(dtype), vh,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+        )
+    attn = jnp.concatenate(head_outs, axis=-1)  # [G, L, D]
+
+    proj = jax.lax.dot_general(
+        attn.reshape(g * l, d),
+        wout_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    proj = (proj + bout_ref[0].astype(jnp.float32)).astype(dtype)
+    o_ref[...] = x + proj.reshape(g, l, d)
+
+
+def _masked_attn_half_kernel(
+    mask_ref, x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, lns_ref,
+    lnb_ref, o_ref, *, n_head: int,
+):
+    _attn_half_kernel(
+        x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, lns_ref, lnb_ref,
+        o_ref, n_head=n_head, mask_ref=mask_ref,
+    )
+
+
+def _mlp_half_kernel(
+    x_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, lns_ref, lnb_ref, o_ref
+):
+    x = x_ref[...]  # [G, L, D]
+    g, l, d = x.shape
+    dtype = x.dtype
+    hidden = wfc_ref.shape[-1]
+
+    xln = _ln_f32(x, lns_ref, lnb_ref).astype(dtype)
+    h = jax.lax.dot_general(
+        xln.reshape(g * l, d),
+        wfc_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + bfc_ref[0].astype(jnp.float32)
+    # QuickGELU in fp32 (Mosaic's bf16 logistic lowering mis-verifies on
+    # this jax version; fp32 compute then cast is within bf16 rounding of
+    # the XLA path's dtype-native sigmoid)
+    h = (h * jax.nn.sigmoid(1.702 * h)).astype(dtype)
+    out = jax.lax.dot_general(
+        h, wproj_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out = (out + bproj_ref[0].astype(jnp.float32)).astype(dtype)
+    o_ref[...] = x + out.reshape(g, l, d)
+    del hidden
+
+
+def _resident(shape):
+    """Weight block: whole array, same block for every grid step (fetched
+    once, stays in VMEM across the grid)."""
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+
+def _row(p):
+    return p.reshape(1, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "g_limit", "interpret")
+)
+def fused_attn_half(
+    x, w_qkv, b_qkv, w_out, b_out, ln_s, ln_b,
+    mask: Optional[jax.Array] = None,
+    n_head: int = 12,
+    g_limit: int = 4,
+    interpret: bool = False,
+):
+    """x + proj(attention(LN1(x))) for x [B, L, D]."""
+    b, l, d = x.shape
+    g = _pick_tile(b, g_limit)
+    tile = pl.BlockSpec((g, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    flops = 2 * b * l * d * (3 * d + d) + 4 * b * l * l * d
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=2 * x.size * x.dtype.itemsize
+        + (w_qkv.size + w_out.size) * w_qkv.dtype.itemsize,
+        transcendentals=b * l * l,
+    )
+    args = [
+        x, w_qkv, _row(b_qkv), w_out, _row(b_out), _row(ln_s), _row(ln_b)
+    ]
+    in_specs = [
+        tile,
+        _resident(w_qkv.shape),
+        _resident((1, b_qkv.shape[0])),
+        _resident(w_out.shape),
+        _resident((1, b_out.shape[0])),
+        _resident((1, ln_s.shape[0])),
+        _resident((1, ln_b.shape[0])),
+    ]
+    if mask is None:
+        kernel = functools.partial(_attn_half_kernel, n_head=n_head)
+    else:
+        kernel = functools.partial(_masked_attn_half_kernel, n_head=n_head)
+        args = [mask.astype(jnp.float32)] + args
+        in_specs = [_resident(mask.shape)] + in_specs
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=in_specs,
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("g_limit", "interpret"))
+def fused_mlp_half(
+    x, c_fc_w, c_fc_b, c_proj_w, c_proj_b, ln_s, ln_b,
+    g_limit: int = 2,
+    interpret: bool = False,
+):
+    """x + c_proj(QuickGELU(c_fc(LN2(x)))) for x [B, L, D]."""
+    b, l, d = x.shape
+    hidden = c_fc_w.shape[-1]
+    g = _pick_tile(b, g_limit)
+    tile = pl.BlockSpec((g, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=4 * b * l * d * hidden,
+        bytes_accessed=2 * x.size * x.dtype.itemsize
+        + (c_fc_w.size + c_proj_w.size) * c_fc_w.dtype.itemsize,
+        transcendentals=b * l * hidden,
+    )
+    return pl.pallas_call(
+        _mlp_half_kernel,
+        grid=(b // g,),
+        in_specs=[
+            tile,
+            _resident(c_fc_w.shape),
+            _resident((1, hidden)),
+            _resident(c_proj_w.shape),
+            _resident((1, d)),
+            _resident((1, d)),
+            _resident((1, d)),
+        ],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x, c_fc_w, _row(c_fc_b), c_proj_w, _row(c_proj_b), _row(ln_s), _row(ln_b))
+
+
+# --------------------------------------------------------------------------
+# differentiable block: Pallas forward, exact XLA-math backward
+# --------------------------------------------------------------------------
+
+
+# weight-residency cutoffs: each half keeps its weights in VMEM across the
+# grid, so halves whose weights crowd out the activation tiles fall back to
+# the XLA block (ViT-L/14's 16.8 MB MLP; int8-quantized serving weights use
+# the dynamic-quant XLA matmuls). Decisions are static at trace time.
+_ATTN_W_CUTOFF = 6 * 1024 * 1024
+_MLP_W_CUTOFF = 10 * 1024 * 1024
+_TILE_BYTES = 6 * 1024 * 1024
+
+
+def _g_limits(l: int, d: int, hidden: int, itemsize: int):
+    per_g_attn = l * d * itemsize * 4 + l * l * 4
+    per_g_mlp = l * hidden * 4 + l * d * itemsize * 2
+    g_attn = max(1, min(16, _TILE_BYTES // max(per_g_attn, 1)))
+    # the MLP half budgets a little higher: its weights leave more VMEM
+    # free than the attention half's scores workspace (g=2 at ViT-B shapes
+    # is the measured winner, docs/DESIGN.md)
+    g_mlp = max(1, min(16, (7 * 1024 * 1024) // max(per_g_mlp, 1)))
+    return g_attn, g_mlp
+
+
+def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False):
+    from ovmr_tpu.ops.layers import layer_norm, mlp_block, multi_head_attention
+
+    itemsize = x.dtype.itemsize
+    l, d = x.shape[-2], x.shape[-1]
+    hidden = p["c_fc_w"].shape[-1]
+    quantized = p["w_qkv"].dtype == jnp.int8
+    attn_w = (p["w_qkv"].size + p["w_out"].size) * itemsize
+    mlp_w = (p["c_fc_w"].size + p["c_proj_w"].size) * itemsize
+    g_attn, g_mlp = _g_limits(l, d, hidden, itemsize)
+
+    if not quantized and attn_w <= _ATTN_W_CUTOFF:
+        y = fused_attn_half(
+            x, p["w_qkv"], p["b_qkv"], p["w_out"], p["b_out"],
+            p["ln_1_scale"], p["ln_1_bias"],
+            mask=mask, n_head=n_head, g_limit=g_attn, interpret=interpret,
+        )
+    else:
+        y = x + multi_head_attention(
+            layer_norm(x, p["ln_1_scale"], p["ln_1_bias"]), p, n_head, mask
+        )
+    if not quantized and mlp_w <= _MLP_W_CUTOFF:
+        return fused_mlp_half(
+            y, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
+            p["ln_2_scale"], p["ln_2_bias"], g_limit=g_mlp,
+            interpret=interpret,
+        )
+    return y + mlp_block(layer_norm(y, p["ln_2_scale"], p["ln_2_bias"]), p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4))
+def _fused_block(x, p, n_head, mask, interpret=False):
+    return _fused_block_fwd_impl(x, p, n_head, mask, interpret=interpret)
+
+
+def _fused_block_fwd(x, p, n_head, mask, interpret=False):
+    return _fused_block(x, p, n_head, mask, interpret), (x, p, mask)
+
+
+def _fused_block_bwd(n_head, interpret, res, g):
+    from ovmr_tpu.ops.layers import residual_attention_block
+
+    x, p, mask = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: residual_attention_block(x_, p_, n_head, mask), x, p
+    )
+    dx, dp = vjp(g)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dx, dp, dmask
+
+
+_fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def fused_residual_block(x, p, n_head, mask=None, interpret=False):
+    """Drop-in replacement for ops.layers.residual_attention_block running
+    both fused Pallas halves. Differentiable (XLA-math VJP)."""
+    return _fused_block(x, p, n_head, mask, interpret)

@@ -183,6 +183,12 @@ def get_cfg_default() -> CfgNode:
     # use the Pallas fused attention kernel; default off — the XLA path
     # measured equal-or-faster inside full programs on v5e (docs/DESIGN.md)
     c.TPU.USE_PALLAS_ATTENTION = False
+    # block-fused Pallas kernels (LN1+QKV+attention+proj and LN2+MLP
+    # halves, ops/block_fused) for the CLIP towers. DEFAULT ON for TPU:
+    # measured 62.5 ms vs 100.7 ms XLA at ViT-B/16 batch 256 bf16
+    # (4095 vs 2542 img/s, ~74% MXU) with identical outputs; shapes whose
+    # weights exceed the VMEM residency cutoffs fall back to XLA per-half
+    c.TPU.USE_FUSED_BLOCK = True
     # training input path: stream decode-once uint8 caches and run the whole
     # augmentation recipe on device inside the train step (the host PIL
     # path stays the default for reference-faithful behavior)

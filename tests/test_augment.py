@@ -83,3 +83,56 @@ def test_image_cache_and_loader(tmp_path):
     # second construction hits the cache file
     cache2 = ImageArrayCache(ds.train_x, side=32, cache_dir=str(tmp_path / "cache"))
     np.testing.assert_array_equal(np.asarray(cache2.images[0]), np.asarray(cache.images[0]))
+
+
+def test_matmul_crop_matches_gather():
+    """The MXU matmul crop (fp32) equals the 4-corner gather bilinear crop."""
+    from ovmr_tpu.ops.augment import _matmul_crop
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (4, 24, 24, 3), np.uint8)
+    x0 = jnp.asarray([0.0, 3.2, 5.5, 1.7])
+    y0 = jnp.asarray([2.0, 0.0, 4.4, 6.1])
+    cw = jnp.asarray([24.0, 17.3, 12.8, 20.0])
+    ch = jnp.asarray([20.0, 24.0, 15.5, 18.2])
+    ref = _bilinear_crop(jnp.asarray(img), x0, y0, cw, ch, out_size=16)
+    got = _matmul_crop(
+        jnp.asarray(img), x0, y0, cw, ch, out_size=16, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_matmul_crop_flip_folding():
+    """flip=True equals mirroring the unflipped crop output."""
+    from ovmr_tpu.ops.augment import _matmul_crop
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 255, (2, 24, 24, 3), np.uint8)
+    x0 = jnp.asarray([2.0, 4.0])
+    y0 = jnp.asarray([1.0, 3.0])
+    cw = jnp.asarray([18.0, 14.0])
+    ch = jnp.asarray([18.0, 16.0])
+    plain = _matmul_crop(
+        jnp.asarray(img), x0, y0, cw, ch, 16,
+        flip=jnp.asarray([False, False]), dtype=jnp.float32,
+    )
+    flipped = _matmul_crop(
+        jnp.asarray(img), x0, y0, cw, ch, 16,
+        flip=jnp.asarray([True, True]), dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(flipped), np.asarray(plain)[:, :, ::-1, :], atol=1e-4
+    )
+
+
+def test_matmul_crop_bf16_close_to_fp32():
+    """bf16 matmul path stays within ~one grey level of fp32."""
+    from ovmr_tpu.ops.augment import _matmul_crop
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, (2, 32, 32, 3), np.uint8)
+    x0 = jnp.asarray([1.5, 2.5]); y0 = jnp.asarray([0.5, 3.0])
+    cw = jnp.asarray([28.0, 20.0]); ch = jnp.asarray([24.0, 26.0])
+    f32 = _matmul_crop(jnp.asarray(img), x0, y0, cw, ch, 16, dtype=jnp.float32)
+    b16 = _matmul_crop(jnp.asarray(img), x0, y0, cw, ch, 16, dtype=jnp.bfloat16)
+    assert float(jnp.abs(f32 - b16).max()) < 2.0
