@@ -246,6 +246,90 @@ def fused_mlp_half(
     )(x, c_fc_w, _row(c_fc_b), c_proj_w, _row(c_proj_b), _row(ln_s), _row(ln_b))
 
 
+def _mlp_half_chunked_kernel(
+    x_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, lns_ref, lnb_ref, o_ref,
+    xln_ref,
+):
+    """MLP half with hidden-dim-chunked weights: grid (batch tiles, hidden
+    chunks); partial c_proj products accumulate into the output block. The
+    LN result is computed once per batch tile (chunk 0) into scratch."""
+    j = pl.program_id(1)
+    x = x_ref[...]
+    g, l, d = x.shape
+    dtype = x.dtype
+
+    @pl.when(j == 0)
+    def _():
+        xln_ref[...] = _ln_f32(x, lns_ref, lnb_ref).astype(dtype)
+        # residual + (once) the c_proj bias
+        o_ref[...] = x + jnp.broadcast_to(
+            bproj_ref[0].astype(jnp.float32), x.shape
+        ).astype(dtype)
+
+    xln = xln_ref[...]
+    h = jax.lax.dot_general(
+        xln.reshape(g * l, d),
+        wfc_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + bfc_ref[0].astype(jnp.float32)
+    h = (h * jax.nn.sigmoid(1.702 * h)).astype(dtype)
+    part = jax.lax.dot_general(
+        h, wproj_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = o_ref[...] + part.reshape(g, l, d).astype(dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g_limit", "chunks", "interpret")
+)
+def fused_mlp_half_chunked(
+    x, c_fc_w, c_fc_b, c_proj_w, c_proj_b, ln_s, ln_b,
+    g_limit: int = 1,
+    chunks: int = 4,
+    interpret: bool = False,
+):
+    """MLP half for towers whose MLP weights exceed the VMEM residency
+    cutoff (ViT-L/14: 16.8 MB bf16): weights stream in `chunks` hidden-dim
+    slices while the hidden activation still never touches HBM."""
+    b, l, d = x.shape
+    hidden = c_fc_w.shape[-1]
+    while hidden % chunks:
+        chunks += 1
+    hc = hidden // chunks
+    g = _pick_tile(b, g_limit)
+    tile = pl.BlockSpec(
+        (g, l, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    cost = pl.CostEstimate(
+        flops=4 * b * l * d * hidden,
+        bytes_accessed=2 * x.size * x.dtype.itemsize
+        + (c_fc_w.size + c_proj_w.size) * c_fc_w.dtype.itemsize,
+        transcendentals=b * l * hidden,
+    )
+    return pl.pallas_call(
+        _mlp_half_chunked_kernel,
+        grid=(b // g, chunks),
+        in_specs=[
+            tile,
+            pl.BlockSpec((d, hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((g, l, d), x.dtype)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x, c_fc_w, _row(c_fc_b), c_proj_w, _row(c_proj_b), _row(ln_s), _row(ln_b))
+
+
 # --------------------------------------------------------------------------
 # differentiable block: Pallas forward, exact XLA-math backward
 # --------------------------------------------------------------------------
@@ -277,7 +361,10 @@ def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False):
     itemsize = x.dtype.itemsize
     l, d = x.shape[-2], x.shape[-1]
     hidden = p["c_fc_w"].shape[-1]
-    quantized = p["w_qkv"].dtype == jnp.int8
+    # int8 weights (dynamic-quant serving) and fp16 activations (the
+    # reference-numerics TPU.DTYPE=float16 path; Mosaic's fp16 lowering is
+    # not a supported TPU compute type) use the XLA block
+    quantized = p["w_qkv"].dtype == jnp.int8 or x.dtype == jnp.float16
     attn_w = (p["w_qkv"].size + p["w_out"].size) * itemsize
     mlp_w = (p["c_fc_w"].size + p["c_proj_w"].size) * itemsize
     g_attn, g_mlp = _g_limits(l, d, hidden, itemsize)
@@ -297,6 +384,15 @@ def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False):
             y, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
             p["ln_2_scale"], p["ln_2_bias"], g_limit=g_mlp,
             interpret=interpret,
+        )
+    if not quantized:
+        # big-MLP towers (ViT-L/14): stream the weights in hidden-dim
+        # chunks; the hidden activation still never leaves VMEM
+        chunks = max(2, -(-mlp_w // (8 * 1024 * 1024)))
+        return fused_mlp_half_chunked(
+            y, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
+            p["ln_2_scale"], p["ln_2_bias"], g_limit=max(g_mlp, 1),
+            chunks=chunks, interpret=interpret,
         )
     return y + mlp_block(layer_norm(y, p["ln_2_scale"], p["ln_2_bias"]), p)
 

@@ -108,3 +108,32 @@ def test_fused_block_gradients_match(setup):
         np.testing.assert_allclose(
             np.asarray(gp_f[k]), np.asarray(gp_r[k]), atol=1e-4, err_msg=k
         )
+
+
+def test_fused_mlp_half_chunked_matches_xla(setup):
+    from ovmr_tpu.ops.block_fused import fused_mlp_half_chunked
+
+    x, p, _ = setup
+    ref = x + mlp_block(layer_norm(x, p["ln_2_scale"], p["ln_2_bias"]), p)
+    for chunks in (2, 4):
+        got = fused_mlp_half_chunked(
+            x, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
+            p["ln_2_scale"], p["ln_2_bias"], chunks=chunks, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5,
+            err_msg=f"chunks={chunks}",
+        )
+
+
+def test_fused_block_fp16_falls_back(setup):
+    """TPU.DTYPE=float16 (reference numerics) must not enter the Pallas
+    path — it routes to the XLA block and still matches."""
+    x, p, n_head = setup
+    x16 = x.astype(jnp.float16)
+    p16 = {k: v.astype(jnp.float16) for k, v in p.items()}
+    ref = residual_attention_block(x16, p16, n_head)
+    got = fused_residual_block(x16, p16, n_head, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=1e-2
+    )
