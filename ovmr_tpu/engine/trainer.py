@@ -105,13 +105,13 @@ def make_feature_extractor(
         )
         batch_size = padded
 
-    f32 = jax.jit(
-        lambda p, x: post(
+    def enc_f32(p, x):
+        return post(
             jclip.encode_image(p, clip_cfg, x, attn_fn=attn_fn, block_fn=block_fn)
         )
-    )
-    u8 = jax.jit(
-        lambda p, x: post(
+
+    def enc_u8(p, x):
+        return post(
             jclip.encode_image(
                 p,
                 clip_cfg,
@@ -121,7 +121,29 @@ def make_feature_extractor(
                 block_fn=block_fn,
             )
         )
-    )
+
+    if mesh is not None:
+        # shard_map over 'data': each device encodes its local shard. This
+        # (not plain jit) is what keeps the Pallas kernels per-chip —
+        # pallas_call has no SPMD partitioning rule, so under plain jit
+        # GSPMD would all-gather the batch around it
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def smap(fn):
+            return jax.jit(
+                shard_map(
+                    fn,
+                    mesh=mesh,
+                    in_specs=(P(), P("data")),
+                    out_specs=P("data"),
+                    check_rep=False,
+                )
+            )
+
+        f32, u8 = smap(enc_f32), smap(enc_u8)
+    else:
+        f32, u8 = jax.jit(enc_f32), jax.jit(enc_u8)
 
     def place(x):
         if mesh is not None:  # batch_size is a device multiple (padded above)
@@ -445,19 +467,31 @@ class MM_CLS_OP(TrainerBase):
                 std=tuple(cfg.INPUT.PIXEL_STD),
                 out_dtype=self.dtype,
             )
+        # mesh-parallel placement whenever more than one device is visible
+        self.mesh = None
+        self.train_block_fn = self.block_fn
+        if jax.device_count() > 1 and cfg.TPU.MESH.DATA != 1:
+            self.mesh = build_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
+            print(f"Data-parallel mesh: {dict(self.mesh.shape)}")
+            if self.block_fn is not None:
+                # the multi-chip TRAIN step keeps the XLA block: pallas_call
+                # has no SPMD partitioning rule, so GSPMD would all-gather
+                # the sharded batch around the kernels (eval/classifier-gen
+                # keep the fused kernels per-chip via shard_map; a
+                # shard_map'd train step is on the roadmap)
+                print(
+                    "Multi-chip mesh: train step uses the XLA block "
+                    "(fused kernels stay active for eval via shard_map)"
+                )
+                self.train_block_fn = None
         self.train_step = make_train_step(
             self.clip_cfg,
             self.optimizer,
             dropout=0.1,
             attn_fn=self.attn_fn,
             augment=augment,
-            block_fn=self.block_fn,
+            block_fn=self.train_block_fn,
         )
-        # mesh-parallel placement whenever more than one device is visible
-        self.mesh = None
-        if jax.device_count() > 1 and cfg.TPU.MESH.DATA != 1:
-            self.mesh = build_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
-            print(f"Data-parallel mesh: {dict(self.mesh.shape)}")
 
         self._features = make_feature_extractor(
             self.clip_cfg,

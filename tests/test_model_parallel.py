@@ -113,3 +113,26 @@ def test_eval_batch_pads_to_device_multiple(setup, capsys):
     feats = encode(params, np.asarray(images[:5], np.float32))
     assert feats.shape == (5, cfg.embed_dim)
     assert np.isfinite(feats).all()
+
+
+def test_shard_map_features_match_single_device(setup):
+    """The shard_map'd mesh feature extractor (which keeps Pallas kernels
+    per-chip on real hardware) equals the single-device path."""
+    from ovmr_tpu.engine.trainer import make_feature_extractor
+    from ovmr_tpu.ops.attention import make_attn_fn
+
+    cfg, params, images = setup
+    kwargs = dict(
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), batch_size=8
+    )
+    plain = make_feature_extractor(
+        cfg, make_attn_fn(False), jnp.float32, **kwargs
+    )
+    meshy = make_feature_extractor(
+        cfg, make_attn_fn(False), jnp.float32,
+        mesh=build_mesh(data=8, model=1), **kwargs
+    )
+    imgs = np.asarray(images, np.float32)
+    np.testing.assert_allclose(
+        meshy(params, imgs), plain(params, imgs), atol=2e-5
+    )
