@@ -336,10 +336,14 @@ def fused_mlp_half_chunked(
 
 
 # weight-residency cutoffs: each half keeps its weights in VMEM across the
-# grid, so halves whose weights crowd out the activation tiles fall back to
-# the XLA block (ViT-L/14's 16.8 MB MLP; int8-quantized serving weights use
-# the dynamic-quant XLA matmuls). Decisions are static at trace time.
-_ATTN_W_CUTOFF = 6 * 1024 * 1024
+# grid; oversized halves (int8 serving weights, fp16 activations, >9 MB
+# attention weights) fall back to XLA. Decisions are static at trace time.
+# Measured ViT-L/14 recipe (batch 128 interleaved A/B, docs/DESIGN.md):
+# fused attention @ g=1 + hidden-chunked MLP = 156 ms vs 220 ms XLA; the
+# chunked MLP WITHOUT fused attention measured slower than XLA (233 ms),
+# so it only engages alongside a fused attention half.
+_ATTN_W_CUTOFF = 9 * 1024 * 1024
+_ATTN_W_SMALL = 6 * 1024 * 1024  # above this, force g=1 tiles
 _MLP_W_CUTOFF = 10 * 1024 * 1024
 _TILE_BYTES = 6 * 1024 * 1024
 
@@ -369,7 +373,10 @@ def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False):
     mlp_w = (p["c_fc_w"].size + p["c_proj_w"].size) * itemsize
     g_attn, g_mlp = _g_limits(l, d, hidden, itemsize)
 
-    if not quantized and attn_w <= _ATTN_W_CUTOFF:
+    attn_fused = not quantized and attn_w <= _ATTN_W_CUTOFF
+    if attn_fused:
+        if attn_w > _ATTN_W_SMALL:
+            g_attn = 1
         y = fused_attn_half(
             x, p["w_qkv"], p["b_qkv"], p["w_out"], p["b_out"],
             p["ln_1_scale"], p["ln_1_bias"],
@@ -385,13 +392,13 @@ def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False):
             p["ln_2_scale"], p["ln_2_bias"], g_limit=g_mlp,
             interpret=interpret,
         )
-    if not quantized:
+    if attn_fused:
         # big-MLP towers (ViT-L/14): stream the weights in hidden-dim
         # chunks; the hidden activation still never leaves VMEM
         chunks = max(2, -(-mlp_w // (8 * 1024 * 1024)))
         return fused_mlp_half_chunked(
             y, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
-            p["ln_2_scale"], p["ln_2_bias"], g_limit=max(g_mlp, 1),
+            p["ln_2_scale"], p["ln_2_bias"], g_limit=1,
             chunks=chunks, interpret=interpret,
         )
     return y + mlp_block(layer_norm(y, p["ln_2_scale"], p["ln_2_bias"]), p)
