@@ -131,6 +131,135 @@ def make_train_step(
     return train_step
 
 
+def make_sharded_train_step(
+    clip_cfg: jclip.CLIPConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    dropout: float = 0.1,
+    attn_fn=attention_xla,
+    augment: Optional[dict] = None,
+    block_fn=None,
+):
+    """Multi-chip train step as an explicit shard_map over the 'data' axis
+    (replaces GSPMD auto-partitioning of :func:`make_train_step`; required
+    for the fused Pallas kernels, which have no SPMD partitioning rule).
+
+    Collective design (all over ICI):
+      - the class-grouped batch shards over 'data' (contiguous class
+        blocks); towers and classifier heads run per-chip;
+      - per-chip mm/v classifiers ``all_gather`` over 'data' so every chip
+        scores its local queries against the GLOBAL class set — exactly the
+        reference's within-batch CE semantics (labels arange(num_cls));
+      - loss and aggregator grads ``pmean`` over 'data'; the adam update
+        runs replicated (identical on every chip).
+
+    Returns step(agg_params, opt_state, clip_params, images, ptok, eot,
+    vis_tokens, rng, split_point) taking GLOBAL arrays; images et al. may be
+    pre-placed with a 'data' sharding or passed as host arrays.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape["data"]
+
+    def local_fn(agg_params, opt_state, clip_params, images, ptok, eot,
+                 vis_tokens, rng, split_point):
+        local_cls, n_ins = images.shape[:2]
+        dev = jax.lax.axis_index("data")
+        # decorrelate per-chip dropout/augment streams
+        rng = jax.random.fold_in(rng, dev)
+
+        layout = "NCHW"
+        if augment is not None:
+            from ovmr_tpu.ops.augment import augment_batch
+
+            rng, aug_rng = jax.random.split(rng)
+            flat_u8 = images.reshape(local_cls * n_ins, *images.shape[2:])
+            flat = augment_batch(flat_u8, aug_rng, out_layout="NHWC", **augment)
+            images = flat.reshape(local_cls, n_ins, *flat.shape[1:])
+            layout = "NHWC"
+
+        img_shape = images.shape[2:]
+        query = images[:, :split_point].reshape(
+            local_cls * split_point, *img_shape
+        )
+        exemplar = images[:, split_point:].reshape(
+            local_cls * (n_ins - split_point), *img_shape
+        )
+        q_feats = l2_normalize(
+            jclip.encode_image(
+                clip_params, clip_cfg, query, attn_fn=attn_fn, layout=layout,
+                block_fn=block_fn,
+            )
+        )
+        e_feats = l2_normalize(
+            jclip.encode_image(
+                clip_params, clip_cfg, exemplar, attn_fn=attn_fn,
+                layout=layout, block_fn=block_fn,
+            )
+        ).reshape(local_cls, n_ins - split_point, -1)
+
+        prompt_embeds = jclip.embed_tokens(clip_params, ptok).astype(
+            e_feats.dtype
+        )
+        vis_embeds = jnp.broadcast_to(
+            jclip.embed_tokens(clip_params, vis_tokens[None]).astype(
+                e_feats.dtype
+            ),
+            (local_cls, vis_tokens.shape[0], e_feats.shape[-1]),
+        )
+
+        # global labels of the local queries: contiguous class blocks per chip
+        labels = jnp.repeat(
+            jnp.arange(local_cls) + dev * local_cls, split_point
+        )
+        logit_scale = jnp.exp(clip_params["logit_scale"]).astype(jnp.float32)
+
+        def loss_fn(agg_p):
+            mm_cls, v_cls, _ = ovmr.classifier_heads(
+                clip_params, clip_cfg, agg_p, e_feats, prompt_embeds,
+                vis_embeds, eot, dropout=dropout, rng=rng, attn_fn=attn_fn,
+                block_fn=block_fn,
+            )
+            # global classifier set; the transpose (reduce-scatter) routes
+            # classifier cotangents back to the owning chip
+            mm_all = jax.lax.all_gather(mm_cls, "data", axis=0, tiled=True)
+            v_all = jax.lax.all_gather(v_cls, "data", axis=0, tiled=True)
+            qf = q_feats.astype(jnp.float32)
+            mm_logits = logit_scale * qf @ mm_all.astype(jnp.float32).T
+            v_logits = logit_scale * qf @ v_all.astype(jnp.float32).T
+            ce = optax.softmax_cross_entropy_with_integer_labels
+            return ce(mm_logits, labels).mean() + ce(v_logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(agg_params)
+        loss = jax.lax.pmean(loss, "data")
+        grads = jax.lax.pmean(grads, "data")
+        updates, new_opt_state = optimizer.update(grads, opt_state, agg_params)
+        new_agg_params = optax.apply_updates(agg_params, updates)
+        return new_agg_params, new_opt_state, loss
+
+    @partial(jax.jit, static_argnames=("split_point",))
+    def step(agg_params, opt_state, clip_params, images, ptok, eot,
+             vis_tokens, rng, split_point):
+        fn = shard_map(
+            partial(local_fn, split_point=split_point),
+            mesh=mesh,
+            in_specs=(
+                P(), P(), P(),  # agg, opt, clip: replicated
+                P("data"), P("data"), P("data"),  # images, ptok, eot
+                P(), P(),  # vis_tokens, rng
+            ),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        )
+        return fn(
+            agg_params, opt_state, clip_params, images, ptok, eot,
+            vis_tokens, rng,
+        )
+
+    return step
+
+
 def sample_split_point(py_rng, n_ins: int) -> int:
     """split_point ~ U[n_ins//4, 3*n_ins//4) (reference ``mm_…:300``),
     drawn on host so it stays a static compile-time value."""

@@ -469,28 +469,34 @@ class MM_CLS_OP(TrainerBase):
             )
         # mesh-parallel placement whenever more than one device is visible
         self.mesh = None
-        self.train_block_fn = self.block_fn
+        self.train_step_sharded = None
         if jax.device_count() > 1 and cfg.TPU.MESH.DATA != 1:
             self.mesh = build_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
             print(f"Data-parallel mesh: {dict(self.mesh.shape)}")
-            if self.block_fn is not None:
-                # the multi-chip TRAIN step keeps the XLA block: pallas_call
-                # has no SPMD partitioning rule, so GSPMD would all-gather
-                # the sharded batch around the kernels (eval/classifier-gen
-                # keep the fused kernels per-chip via shard_map; a
-                # shard_map'd train step is on the roadmap)
-                print(
-                    "Multi-chip mesh: train step uses the XLA block "
-                    "(fused kernels stay active for eval via shard_map)"
-                )
-                self.train_block_fn = None
+            # explicit shard_map step: classifiers all_gather over ICI,
+            # grads pmean, fused Pallas kernels per chip (pallas_call has
+            # no GSPMD rule, so plain jit couldn't keep them sharded)
+            from ovmr_tpu.engine.train_step import make_sharded_train_step
+
+            self.train_step_sharded = make_sharded_train_step(
+                self.clip_cfg,
+                self.optimizer,
+                self.mesh,
+                dropout=0.1,
+                attn_fn=self.attn_fn,
+                augment=augment,
+                block_fn=self.block_fn,
+            )
+        # single-program step: single chip, and the fallback for ragged
+        # batches whose class count doesn't divide the mesh (XLA block
+        # there — GSPMD would gather around Pallas kernels)
         self.train_step = make_train_step(
             self.clip_cfg,
             self.optimizer,
             dropout=0.1,
             attn_fn=self.attn_fn,
             augment=augment,
-            block_fn=self.train_block_fn,
+            block_fn=self.block_fn if self.mesh is None else None,
         )
 
         self._features = make_feature_extractor(
@@ -569,6 +575,7 @@ class MM_CLS_OP(TrainerBase):
             if images.dtype == np.uint8
             else jnp.asarray(images, self.dtype)
         )
+        step = self.train_step
         if self.mesh is not None:
             if num_cls % self.mesh.devices.size == 0:
                 from ovmr_tpu.parallel import shard_batch
@@ -576,9 +583,10 @@ class MM_CLS_OP(TrainerBase):
                 images_dev = shard_batch(self.mesh, images_dev)
                 ptok = shard_batch(self.mesh, ptok)
                 eot = shard_batch(self.mesh, eot)
+                step = self.train_step_sharded
             elif not getattr(self, "_warned_unsharded", False):
-                # tail batches with a ragged class count fall back to
-                # replicated execution — loud, not silent (padding the class
+                # tail batches with a ragged class count fall back to the
+                # single-program step — loud, not silent (padding the class
                 # axis would corrupt the arange-label CE loss)
                 self._warned_unsharded = True
                 print(
@@ -587,7 +595,7 @@ class MM_CLS_OP(TrainerBase):
                     "choose BATCH_SIZE so classes-per-batch divides the mesh"
                 )
 
-        self.agg_params, self.opt_state, loss = self.train_step(
+        self.agg_params, self.opt_state, loss = step(
             self.agg_params,
             self.opt_state,
             self.clip_params,
