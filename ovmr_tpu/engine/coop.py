@@ -162,8 +162,8 @@ class CoOp(TrainerBase):
         ce = optax.softmax_cross_entropy_with_integer_labels
         big = self.n_cls > 400
 
-        @partial(jax.jit, static_argnames=("prompt_ind",))
-        def step(params, opt_state, clip_params, images, labels, prompt_ind):
+        def local_step(params, opt_state, clip_params, images, labels,
+                       prompt_ind, axis=None):
             feats = l2_normalize(
                 jclip.encode_image(
                     clip_params, self.clip_cfg, images, attn_fn=self.attn_fn,
@@ -186,8 +186,40 @@ class CoOp(TrainerBase):
                 return total
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            if axis is not None:
+                # image batch shards over 'data' (the reference wraps this
+                # trainer in nn.DataParallel, coop_…:402-405); text features
+                # replicate, so only loss/grads need the mean
+                loss = jax.lax.pmean(loss, axis)
+                grads = jax.lax.pmean(grads, axis)
             updates, new_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_state, loss
+
+        step = partial(jax.jit, static_argnames=("prompt_ind",))(local_step)
+
+        self.mesh = None
+        cfg = self.cfg
+        if jax.device_count() > 1 and cfg.TPU.MESH.DATA != 1:
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+            from ovmr_tpu.parallel import build_mesh
+
+            self.mesh = build_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
+            print(f"CoOp data-parallel mesh: {dict(self.mesh.shape)}")
+
+            @partial(jax.jit, static_argnames=("prompt_ind",))
+            def sharded_step(params, opt_state, clip_params, images, labels,
+                             prompt_ind):
+                fn = shard_map(
+                    partial(local_step, prompt_ind=prompt_ind, axis="data"),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P(), P("data"), P("data")),
+                    out_specs=(P(), P(), P()),
+                    check_rep=False,
+                )
+                return fn(params, opt_state, clip_params, images, labels)
+
+            self._step_sharded = sharded_step
 
         self._step = step
         self._jit_text_features = jax.jit(self._text_features)
@@ -208,8 +240,16 @@ class CoOp(TrainerBase):
         images = jnp.asarray(batch["img"], self.dtype)
         labels = jnp.asarray(batch["label"].astype(np.int32))
         prompt_ind = int(self.py_rng.integers(0, 3)) if self.n_cls > 400 else 0
-        self.params, self.opt_state, loss = self._step(
-            self.params, self.opt_state, self.clip_params, images, labels, prompt_ind
+        step = self._step
+        if self.mesh is not None and images.shape[0] % self.mesh.devices.size == 0:
+            from ovmr_tpu.parallel import shard_batch
+
+            images = shard_batch(self.mesh, images)
+            labels = shard_batch(self.mesh, labels)
+            step = self._step_sharded
+        self.params, self.opt_state, loss = step(
+            self.params, self.opt_state, self.clip_params, images, labels,
+            prompt_ind,
         )
         return {"loss": float(loss), "lr": self.lr_table[self.epoch]}
 
