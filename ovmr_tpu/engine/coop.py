@@ -146,10 +146,16 @@ class CoOp(TrainerBase):
         return mm, v, t
 
     def _text_features(self, params):
+        from ovmr_tpu.engine.train_step import _text_tower_block_fn
+
         mm, v, t = self._build_prompts(params)
+        # differentiated tower: fused VJP remats by construction; the XLA
+        # fallback gets per-layer jax.checkpoint (1000-class 3-prompt CoOp
+        # would otherwise save 86 GB of scan intermediates for backward)
         enc = partial(
             jclip.encode_text_embeds, self.clip_params, self.clip_cfg,
-            attn_fn=self.attn_fn, block_fn=self.block_fn,
+            attn_fn=self.attn_fn,
+            block_fn=_text_tower_block_fn(self.block_fn, self.attn_fn),
         )
         shift = self.voken_len
         mm_f = l2_normalize(enc(mm, self.eot_idx + shift))

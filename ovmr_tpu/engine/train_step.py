@@ -29,7 +29,25 @@ import optax
 
 from ovmr_tpu.models import clip as jclip
 from ovmr_tpu.models import ovmr
-from ovmr_tpu.ops.layers import attention_xla, l2_normalize
+from ovmr_tpu.ops.layers import (
+    attention_xla,
+    l2_normalize,
+    residual_block_remat,
+)
+
+
+def _text_tower_block_fn(block_fn, attn_fn):
+    """Block fn for the DIFFERENTIATED text tower: the fused Pallas block's
+    VJP remats by construction; the XLA fallback gets per-layer
+    jax.checkpoint so large class counts don't save 12 layers of
+    intermediates (see ops.layers.residual_block_remat)."""
+    if block_fn is not None:
+        return block_fn
+
+    def remat_block(h, layer_params, n_head, mask):
+        return residual_block_remat(h, layer_params, n_head, mask, attn_fn)
+
+    return remat_block
 
 
 def make_train_step(
@@ -115,7 +133,7 @@ def make_train_step(
                 dropout=dropout,
                 rng=rng,
                 attn_fn=attn_fn,
-                block_fn=block_fn,
+                block_fn=_text_tower_block_fn(block_fn, attn_fn),
             )
             qf = q_feats.astype(jnp.float32)
             mm_logits = logit_scale * qf @ mm_cls.astype(jnp.float32).T
@@ -219,7 +237,7 @@ def make_sharded_train_step(
             mm_cls, v_cls, _ = ovmr.classifier_heads(
                 clip_params, clip_cfg, agg_p, e_feats, prompt_embeds,
                 vis_embeds, eot, dropout=dropout, rng=rng, attn_fn=attn_fn,
-                block_fn=block_fn,
+                block_fn=_text_tower_block_fn(block_fn, attn_fn),
             )
             # global classifier set; the transpose (reduce-scatter) routes
             # classifier cotangents back to the owning chip

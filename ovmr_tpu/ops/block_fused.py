@@ -359,7 +359,16 @@ def _g_limits(l: int, d: int, hidden: int, itemsize: int):
     return g_attn, g_mlp
 
 
-def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False):
+def _block_flavor(x, p):
+    """Static trace-time routing facts shared by forward and backward."""
+    itemsize = x.dtype.itemsize
+    quantized = p["w_qkv"].dtype == jnp.int8 or x.dtype == jnp.float16
+    attn_w = (p["w_qkv"].size + p["w_out"].size) * itemsize
+    mlp_w = (p["c_fc_w"].size + p["c_proj_w"].size) * itemsize
+    return quantized, attn_w, mlp_w
+
+
+def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False, want_y=False):
     from ovmr_tpu.ops.layers import layer_norm, mlp_block, multi_head_attention
 
     itemsize = x.dtype.itemsize
@@ -368,10 +377,11 @@ def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False):
     # int8 weights (dynamic-quant serving) and fp16 activations (the
     # reference-numerics TPU.DTYPE=float16 path; Mosaic's fp16 lowering is
     # not a supported TPU compute type) use the XLA block
-    quantized = p["w_qkv"].dtype == jnp.int8 or x.dtype == jnp.float16
-    attn_w = (p["w_qkv"].size + p["w_out"].size) * itemsize
-    mlp_w = (p["c_fc_w"].size + p["c_proj_w"].size) * itemsize
+    quantized, attn_w, mlp_w = _block_flavor(x, p)
     g_attn, g_mlp = _g_limits(l, d, hidden, itemsize)
+
+    def ret(z, y):
+        return (z, y) if want_y else z
 
     attn_fused = not quantized and attn_w <= _ATTN_W_CUTOFF
     if attn_fused:
@@ -387,21 +397,29 @@ def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False):
             layer_norm(x, p["ln_1_scale"], p["ln_1_bias"]), p, n_head, mask
         )
     if not quantized and mlp_w <= _MLP_W_CUTOFF:
-        return fused_mlp_half(
-            y, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
-            p["ln_2_scale"], p["ln_2_bias"], g_limit=g_mlp,
-            interpret=interpret,
+        return ret(
+            fused_mlp_half(
+                y, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
+                p["ln_2_scale"], p["ln_2_bias"], g_limit=g_mlp,
+                interpret=interpret,
+            ),
+            y,
         )
     if attn_fused:
         # big-MLP towers (ViT-L/14): stream the weights in hidden-dim
         # chunks; the hidden activation still never leaves VMEM
         chunks = max(2, -(-mlp_w // (8 * 1024 * 1024)))
-        return fused_mlp_half_chunked(
-            y, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
-            p["ln_2_scale"], p["ln_2_bias"], g_limit=1,
-            chunks=chunks, interpret=interpret,
+        return ret(
+            fused_mlp_half_chunked(
+                y, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
+                p["ln_2_scale"], p["ln_2_bias"], g_limit=1,
+                chunks=chunks, interpret=interpret,
+            ),
+            y,
         )
-    return y + mlp_block(layer_norm(y, p["ln_2_scale"], p["ln_2_bias"]), p)
+    return ret(
+        y + mlp_block(layer_norm(y, p["ln_2_scale"], p["ln_2_bias"]), p), y
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4))
@@ -410,17 +428,70 @@ def _fused_block(x, p, n_head, mask, interpret=False):
 
 
 def _fused_block_fwd(x, p, n_head, mask, interpret=False):
-    return _fused_block(x, p, n_head, mask, interpret), (x, p, mask)
+    z, y = _fused_block_fwd_impl(
+        x, p, n_head, mask, interpret=interpret, want_y=True
+    )
+    return z, (x, y, p, mask)
+
+
+def _bwd_g_limits(l: int, d: int, hidden: int, itemsize: int):
+    """Batch-tile limits for the dx kernels (more live fp32 temporaries
+    than forward: the MLP keeps 4 [L, hidden] fp32 arrays, the attention
+    half ~4 [L, L] fp32 per-head arrays + dqkv)."""
+    per_g_attn = l * d * itemsize * 10 + 16 * l * l + 6 * l * 3 * d
+    per_g_mlp = 16 * l * hidden + 6 * l * d * itemsize
+    g_attn = max(1, min(16, (5 * 1024 * 1024) // max(per_g_attn, 1)))
+    g_mlp = max(1, min(16, (5 * 1024 * 1024) // max(per_g_mlp, 1)))
+    return g_attn, g_mlp
 
 
 def _fused_block_bwd(n_head, interpret, res, g):
     from ovmr_tpu.ops.layers import residual_attention_block
 
-    x, p, mask = res
-    _, vjp = jax.vjp(
-        lambda x_, p_: residual_attention_block(x_, p_, n_head, mask), x, p
+    x, y, p, mask = res
+    quantized, attn_w, mlp_w = _block_flavor(x, p)
+    pallas_dx = (
+        not quantized
+        and attn_w <= _ATTN_W_CUTOFF
+        and mlp_w <= _MLP_W_CUTOFF
     )
-    dx, dp = vjp(g)
+    if pallas_dx:
+        # dx rides Pallas (in-kernel recompute, intermediates stay in VMEM).
+        # Only the TEXT tower is ever differentiated in OVMR (towers are
+        # frozen; grads flow through into the prompt embeddings), and every
+        # CLIP text tower's weights fit the forward residency cutoffs.
+        from ovmr_tpu.ops.block_fused_bwd import (
+            attn_half_bwd_dx,
+            mlp_half_bwd_dx,
+        )
+
+        l, d = x.shape[-2], x.shape[-1]
+        g_attn, g_mlp = _bwd_g_limits(
+            l, d, p["c_fc_w"].shape[-1], x.dtype.itemsize
+        )
+        dy = mlp_half_bwd_dx(
+            y, g, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"],
+            p["ln_2_scale"], p["ln_2_bias"], g_limit=g_mlp,
+            interpret=interpret,
+        )
+        dx = attn_half_bwd_dx(
+            x, dy, p["w_qkv"], p["b_qkv"], p["w_out"],
+            p["ln_1_scale"], p["ln_1_bias"], mask=mask, n_head=n_head,
+            g_limit=g_attn, interpret=interpret,
+        )
+        # Parameter cotangents via the XLA chain: DCE'd whenever the caller
+        # discards them (every shipped trainer — towers frozen), correct on
+        # the day someone fine-tunes tower weights.
+        _, vjp_p = jax.vjp(
+            lambda p_: residual_attention_block(x, p_, n_head, mask), p
+        )
+        (dp,) = vjp_p(g)
+    else:
+        _, vjp = jax.vjp(
+            lambda x_, p_: residual_attention_block(x_, p_, n_head, mask),
+            x, p,
+        )
+        dx, dp = vjp(g)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return dx, dp, dmask
 

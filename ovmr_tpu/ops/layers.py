@@ -146,6 +146,27 @@ def residual_attention_block(
     return x
 
 
+def residual_block_remat(
+    x: jax.Array,
+    p: dict,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+    attn_fn=attention_xla,
+) -> jax.Array:
+    """XLA block with per-layer rematerialization — identical values, but
+    backward recomputes the layer instead of saving its intermediates.
+
+    The text tower is differentiated THROUGH in training (stage-1 classifier
+    heads, stage-2 CoOp); without remat XLA saves every per-layer
+    intermediate of the 12-block scan, ~29 MB/layer per 77-token sequence —
+    86 GB for a 1000-class 3-prompt CoOp batch on a 15.75 GB chip. The
+    fused Pallas block's custom VJP remats by construction; this is the
+    equivalent for the XLA fallback paths (CPU, fp16 numerics, int8)."""
+    return jax.checkpoint(
+        lambda x_, p_: residual_attention_block(x_, p_, n_head, mask, attn_fn)
+    )(x, p)
+
+
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
     """Unit-normalize along `axis` in float32 (matches torch
     ``x / x.norm(dim=-1, keepdim=True)`` up to dtype rounding)."""

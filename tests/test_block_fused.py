@@ -137,3 +137,87 @@ def test_fused_block_fp16_falls_back(setup):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=1e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# Pallas dx backward kernels (ops/block_fused_bwd.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mlp_bwd_dx_kernel_matches_xla(setup):
+    from ovmr_tpu.ops.block_fused_bwd import mlp_half_bwd_dx
+
+    x, p, _ = setup
+    g = jax.random.normal(jax.random.PRNGKey(3), x.shape, x.dtype)
+
+    def half(y):
+        return y + mlp_block(layer_norm(y, p["ln_2_scale"], p["ln_2_bias"]), p)
+
+    _, vjp = jax.vjp(half, x)
+    (ref,) = vjp(g)
+    got = mlp_half_bwd_dx(
+        x, g, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"],
+        p["ln_2_scale"], p["ln_2_bias"], interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_attn_bwd_dx_kernel_matches_xla(setup, masked):
+    from ovmr_tpu.ops.block_fused_bwd import attn_half_bwd_dx
+
+    x, p, n_head = setup
+    mask = causal_mask(x.shape[1]) if masked else None
+    g = jax.random.normal(jax.random.PRNGKey(4), x.shape, x.dtype)
+
+    def half(x_):
+        return x_ + multi_head_attention(
+            layer_norm(x_, p["ln_1_scale"], p["ln_1_bias"]), p, n_head, mask
+        )
+
+    _, vjp = jax.vjp(half, x)
+    (ref,) = vjp(g)
+    got = attn_half_bwd_dx(
+        x, g, p["w_qkv"], p["b_qkv"], p["w_out"],
+        p["ln_1_scale"], p["ln_1_bias"], mask=mask, n_head=n_head,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fused_block_masked_gradients_match(setup):
+    """The text-tower training shape: causal mask, grads flow through to
+    the prompt embeddings (dx) — the stage-1/stage-2 backward path."""
+    x, p, n_head = setup
+    mask = causal_mask(x.shape[1])
+
+    def loss_fused(x_):
+        return jnp.sum(
+            fused_residual_block(x_, p, n_head, mask=mask, interpret=True)
+            ** 2
+        )
+
+    def loss_ref(x_):
+        return jnp.sum(residual_attention_block(x_, p, n_head, mask) ** 2)
+
+    gx_f = jax.grad(loss_fused)(x)
+    gx_r = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=1e-4)
+
+
+def test_fused_block_bwd_odd_batch(setup):
+    """dx kernels on a batch that doesn't divide the tile limit."""
+    _, p, n_head = setup
+    x = jax.random.normal(jax.random.PRNGKey(5), (3, 17, 64), jnp.float32)
+
+    def loss_fused(x_):
+        return jnp.sum(fused_residual_block(x_, p, n_head, interpret=True) ** 2)
+
+    def loss_ref(x_):
+        return jnp.sum(residual_attention_block(x_, p, n_head) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_fused)(x)),
+        np.asarray(jax.grad(loss_ref)(x)),
+        atol=1e-4,
+    )
