@@ -1,9 +1,11 @@
 """Benchmark: OVMR hot paths on one TPU chip. Prints ONE JSON line.
 
-Three metrics, all measured in the same run (no hard-coded constants):
+Four metrics, all measured in the same run (no hard-coded constants):
   - eval encode+classify (ViT-B/16 bf16, batch 256)  <- headline value
   - train step (frozen towers + aggregator grad, batch 1536 = 192cls x 8ins)
   - classifier generation (1024 classes x 16 shots, mm+v+t heads + fusion)
+  - stage-2 CoOp step (1000 classes, ctx grads through the frozen text
+    tower — the Pallas dx backward path)
 
 The reference publishes no throughput numbers (BASELINE.json.published = {}),
 so vs_baseline compares the headline against this framework's NAIVE path —
@@ -96,6 +98,8 @@ def main():
     gc.collect()
 
     # ---- train step: 192 classes x 8 instances (shipped config batch) ----
+    import optax
+
     from ovmr_tpu.engine.optimizers import build_optimizer
     from ovmr_tpu.engine.train_step import make_train_step
     from ovmr_tpu.models import ovmr
@@ -165,6 +169,70 @@ def main():
         iters=4, rounds=3,
     )
     gen_s_per_1024 = t_gen / 1e3
+    del feats
+    gc.collect()
+
+    # ---- stage-2 CoOp step: 1000 classes, batch 32 ------------------------
+    # reference >400-class mode (one random prompt per step,
+    # coop_mm_classifier.py:317-337): ctx grads flow THROUGH the frozen
+    # text tower — the Pallas dx backward path
+    s2_cls, n_ctx, s2_batch = 1000, 16, 32
+    dim = cfg.transformer_width
+    s2_ptok, s2_eot, _ = ovmr.build_prompt_tokens(
+        [f"x {i:04d}" for i in range(s2_cls)]
+    )
+    s2_emb = jnp.asarray(
+        jax.jit(lambda t: jclip.embed_tokens(params16, t))(
+            jnp.asarray(s2_ptok)
+        ),
+        jnp.bfloat16,
+    )
+    prefix, suffix = s2_emb[:, :1], s2_emb[:, 1 + n_ctx :]
+    s2_eotd = jnp.asarray(s2_eot)
+    ctx0 = 0.02 * jax.random.normal(key, (n_ctx, dim), jnp.float32)
+    s2_opt = build_optimizer(get_cfg_default().OPTIM)
+    s2_state = {"p": {"ctx": ctx0}, "o": s2_opt.init({"ctx": ctx0})}
+    s2_images = jax.random.normal(
+        jax.random.PRNGKey(3), (s2_batch, 3, 224, 224), jnp.bfloat16
+    )
+    s2_labels = jnp.arange(s2_batch, dtype=jnp.int32)
+
+    @jax.jit
+    def s2_step(clip_p, pre, suf, eot_, p, o, imgs, labels):
+        feats_ = l2_normalize(
+            jclip.encode_image(
+                clip_p, cfg, imgs, attn_fn=attention_xla, block_fn=block_fn
+            )
+        ).astype(jnp.float32)
+        scale = jnp.exp(clip_p["logit_scale"]).astype(jnp.float32)
+
+        def loss_fn(pp):
+            ctx = jnp.broadcast_to(
+                pp["ctx"].astype(jnp.bfloat16)[None], (s2_cls, n_ctx, dim)
+            )
+            embeds = jnp.concatenate([pre, ctx, suf], axis=1)
+            f = l2_normalize(
+                jclip.encode_text_embeds(
+                    clip_p, cfg, embeds, eot_,
+                    attn_fn=attention_xla, block_fn=block_fn,
+                )
+            ).astype(jnp.float32)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                scale * feats_ @ f.T, labels
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, new_o = s2_opt.update(grads, o, p)
+        return optax.apply_updates(p, upd), new_o, loss
+
+    def s2_once():
+        s2_state["p"], s2_state["o"], loss = s2_step(
+            params16, prefix, suffix, s2_eotd,
+            s2_state["p"], s2_state["o"], s2_images, s2_labels,
+        )
+        return loss
+
+    t_s2 = sustained_ms(s2_once, iters=4, rounds=3)
 
     result = {
         "metric": (
@@ -184,6 +252,7 @@ def main():
             "train_step_ms_batch1536": round(t_train, 1),
             "classifier_gen_s_per_1024cls": round(gen_s_per_1024, 3),
             "eval_ms_batch256": round(t_fast, 1),
+            "stage2_coop_step_ms_1000cls": round(t_s2, 1),
         },
     }
     print(json.dumps(result))

@@ -80,8 +80,10 @@ def main(args):
         unit_norm=False,  # the reference dumps raw visual features
     )
 
+    from ovmr_tpu.data.prefetch import prefetch_batches
+
     feats, labels = [], []
-    for batch in loader:
+    for batch in prefetch_batches(loader):
         feats.append(encode(clip_params, batch["img"]))
         labels.extend(batch["label"].tolist())
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ovmr_tpu.data.prefetch import prefetch_batches
 from ovmr_tpu.engine import checkpoint as ckpt
 from ovmr_tpu.engine.optimizers import build_optimizer, set_lr
 from ovmr_tpu.engine.schedule import lr_schedule_from_cfg
@@ -289,7 +290,7 @@ class CoOp(TrainerBase):
         dim = self.clip_cfg.embed_dim
         feats = np.zeros((self.n_cls, shots, dim), np.float32)
         filled = np.zeros(self.n_cls, bool)
-        for batch in self.dm.eval_set_loader:
+        for batch in prefetch_batches(self.dm.eval_set_loader):
             images, labels = batch["img"], batch["label"]
             usable = (images.shape[0] // shots) * shots
             if usable == 0:

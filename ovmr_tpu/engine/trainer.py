@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ovmr_tpu.data import DataManager
+from ovmr_tpu.data.prefetch import prefetch_batches
 from ovmr_tpu.engine import checkpoint as ckpt
 from ovmr_tpu.engine.optimizers import build_optimizer, set_lr
 from ovmr_tpu.engine.schedule import lr_schedule_from_cfg
@@ -291,7 +292,11 @@ class TrainerBase:
         data_time = AverageMeter()
         self.num_batches = len(self.train_loader)
         end = time.time()
-        for self.batch_idx, batch in enumerate(self.train_loader):
+        # host decode of batch N+1 overlaps the device's step N (the
+        # torch-DataLoader-workers equivalent; SURVEY §7 hard part #6)
+        for self.batch_idx, batch in enumerate(
+            prefetch_batches(self.train_loader)
+        ):
             data_time.update(time.time() - end)
             loss_summary = self.forward_backward(batch)
             batch_time.update(time.time() - end)
@@ -357,7 +362,7 @@ class TrainerBase:
 
         def eval_pass(scale_no):
             self.evaluator.reset()
-            for batch in loader:
+            for batch in prefetch_batches(loader):
                 output = self.model_inference(batch, scale_no=scale_no)
                 self.evaluator.process(output, batch["label"])
             results = self.evaluator.evaluate()
@@ -666,7 +671,7 @@ class MM_CLS_OP(TrainerBase):
 
         feats = np.zeros((n_cls, shots, dim), np.float32)
         filled = np.zeros(n_cls, bool)
-        for batch in self.dm.eval_set_loader:
+        for batch in prefetch_batches(self.dm.eval_set_loader):
             images = batch["img"]
             labels = batch["label"]
             usable = (images.shape[0] // shots) * shots
