@@ -29,6 +29,11 @@ def main(args):
     from ovmr_tpu.utils import get_cfg_default, set_random_seed
 
     cfg = get_cfg_default()
+    if args.config_file:
+        # trainer yaml (the reference driver passes e.g.
+        # configs/trainers/CoOp/rn50_val.yaml to pick the backbone)
+        cfg.merge_from_file(args.config_file)
+        args.backbone = cfg.MODEL.BACKBONE.NAME or args.backbone
     if args.dataset_config_file:
         cfg.merge_from_file(args.dataset_config_file)
     cfg.DATASET.ROOT = args.root
@@ -105,5 +110,8 @@ if __name__ == "__main__":
     parser.add_argument("--output-dir", default="./lpclip_feats")
     parser.add_argument("--backbone", default="ViT-B/16")
     parser.add_argument("--seed", type=int, default=1)
+    # reference-driver compatibility (lpclip/feat_extractor.sh)
+    parser.add_argument("--config-file", default="")
+    parser.add_argument("--eval-only", action="store_true")  # accepted, implied
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     main(parser.parse_args())

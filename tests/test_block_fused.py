@@ -221,3 +221,27 @@ def test_fused_block_bwd_odd_batch(setup):
         np.asarray(jax.grad(loss_ref)(x)),
         atol=1e-4,
     )
+
+
+def test_fused_block_bf16_gradients_close(setup):
+    """bf16 activations (the shipped training dtype): dx from the Pallas
+    kernels tracks the XLA-path gradient within bf16 rounding."""
+    x, p, n_head = setup
+    x16 = x.astype(jnp.bfloat16)
+    p16 = {k: v.astype(jnp.bfloat16) for k, v in p.items()}
+    mask = causal_mask(x.shape[1])
+
+    def loss_fused(x_):
+        y = fused_residual_block(x_, p16, n_head, mask=mask, interpret=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def loss_ref(x_):
+        y = residual_attention_block(x_, p16, n_head, mask)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    gf = np.asarray(jax.grad(loss_fused)(x16), np.float32)
+    gr = np.asarray(jax.grad(loss_ref)(x16), np.float32)
+    denom = max(np.abs(gr).max(), 1e-6)
+    assert np.abs(gf - gr).max() / denom < 0.03
+    cos = (gf * gr).sum() / (np.linalg.norm(gf) * np.linalg.norm(gr) + 1e-30)
+    assert cos > 0.999

@@ -9,8 +9,9 @@ Variants:
                behavior before the dx kernels)
   fused      — Pallas fwd + Pallas dx bwd (ops/block_fused_bwd)
 
-Usage: python tools/ab_bwd.py [n_cls]   (default 1000; batch = 3*n_cls
-sequences of 77 tokens, the 3-prompt CoOp loss shape)
+Usage: python tools/ab_bwd.py [n_cls] [model]   (default 1000 ViT-B/16;
+batch = 3*n_cls sequences of 77 tokens, the 3-prompt CoOp loss shape;
+model: b16 | l14)
 """
 
 import functools
@@ -31,9 +32,17 @@ from ovmr_tpu.ops.block_fused import (
     _fused_block_fwd_impl,
     fused_residual_block,
 )
-from ovmr_tpu.ops.layers import l2_normalize, residual_attention_block
+from ovmr_tpu.ops.layers import (
+    l2_normalize,
+    residual_attention_block,
+    residual_block_remat,
+)
 
-cfg = jclip.VIT_B16
+cfg = (
+    jclip.VIT_L14
+    if len(sys.argv) > 2 and sys.argv[2] == "l14"
+    else jclip.VIT_B16
+)
 key = jax.random.PRNGKey(0)
 n_cls = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
 batch = 3 * n_cls  # mm + v + t prompt variants
@@ -89,8 +98,13 @@ def make_variant(block_fn):
     return run
 
 
+def xla_remat_block(x, p, n_head, mask=None, interpret=False):
+    return residual_block_remat(x, p, n_head, mask)
+
+
 VARIANTS = {
     "xla": make_variant(None),
+    "xla_remat": make_variant(xla_remat_block),
     "fused_old": make_variant(old_fused),
     "fused": make_variant(fused_residual_block),
 }
