@@ -60,7 +60,15 @@ class Synthetic(DatasetBase):
     dataset_dir = "synthetic"
 
     def __init__(self, cfg, num_classes: int = 8, per_class: int = 24, size: int = 224):
+        import os
+
         from PIL import Image
+
+        # scale knobs for perf soaks (the registry instantiates with cfg
+        # only): OVMR_SYNTHETIC=classes,per_class,size
+        spec = os.environ.get("OVMR_SYNTHETIC")
+        if spec:
+            num_classes, per_class, size = (int(v) for v in spec.split(","))
 
         root = osp.abspath(osp.expanduser(cfg.DATASET.ROOT or "/tmp/ovmr_data"))
         base = osp.join(root, type(self).dataset_dir, f"c{num_classes}_n{per_class}_s{size}")

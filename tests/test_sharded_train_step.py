@@ -89,3 +89,37 @@ def test_sharded_step_trains(setup):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_sharded_step_with_fused_kernels_interpret(setup):
+    """The REAL multi-chip path: per-chip fused Pallas towers (forward AND
+    the dx backward) inside shard_map — interpret mode stands in for Mosaic
+    on the CPU mesh. Must match the XLA-block sharded step."""
+    from functools import partial
+
+    from ovmr_tpu.ops.block_fused import fused_residual_block
+
+    (cfg, clip_params, agg, optimizer, opt_state, images,
+     ptok, eot, vtok) = setup
+    rng = jax.random.PRNGKey(7)
+    mesh = build_mesh(data=4, model=1)
+
+    ref_step = make_sharded_train_step(cfg, optimizer, mesh, dropout=0.0)
+    fused_step = make_sharded_train_step(
+        cfg, optimizer, mesh, dropout=0.0,
+        block_fn=partial(fused_residual_block, interpret=True),
+    )
+    args = (
+        agg, opt_state, clip_params, shard_batch(mesh, images),
+        shard_batch(mesh, ptok), shard_batch(mesh, eot), vtok, rng, 2,
+    )
+    ref_agg, _, ref_loss = ref_step(*args)
+    f_agg, _, f_loss = fused_step(*args)
+
+    np.testing.assert_allclose(float(f_loss), float(ref_loss), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(f_agg), jax.tree_util.tree_leaves(ref_agg)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        )
