@@ -211,3 +211,20 @@ def test_loader_drop_last():
     assert sizes == [3, 3, 1]
     sizes_d = [b["img"].shape[0] for b in drop]
     assert sizes_d == [3, 3]
+
+
+def test_synthetic_env_knob(tmp_path, monkeypatch):
+    """OVMR_SYNTHETIC=classes,per_class,size scales the synthetic dataset
+    (perf-soak knob; the registry instantiates datasets with cfg only)."""
+    import ovmr_tpu.data.datasets  # noqa: F401  (populate the registry)
+    from ovmr_tpu.data.registry import DATASET_REGISTRY
+    from ovmr_tpu.utils.defaults import get_cfg_default
+
+    monkeypatch.setenv("OVMR_SYNTHETIC", "5,6,32")
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path)
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.NUM_SHOTS = 2
+    ds = DATASET_REGISTRY.get("Synthetic")(cfg)
+    assert ds.num_classes == 5
+    assert len(ds.train_x) == 5 * 2  # NUM_SHOTS few-shot subset
