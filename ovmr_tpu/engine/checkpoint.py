@@ -60,12 +60,22 @@ def save_checkpoint(
     opt_state=None,
     is_best: bool = False,
     model_name: str = "",
+    backend: str = "npz",
 ) -> str:
     """Write ``{directory}/{name}/model-{epoch}.npz`` + pointer file.
     With ``model_name`` the file is ``{model_name}.npz`` instead (the
     reference's best-val save passes ``model-best.pth.tar``,
     ``dassl/engine/trainer.py:448-455``); the pointer always tracks the
-    latest write, matching ``torchtools.py:65-69``."""
+    latest write, matching ``torchtools.py:65-69``.
+
+    ``backend="orbax"`` (``TPU.CHECKPOINT_BACKEND``) routes the epoch-keyed
+    save/resume cycle through :mod:`ovmr_tpu.engine.orbax_io` (async-safe,
+    per-array chunking for very large states); named saves (best-val) stay
+    npz — they are export artifacts with a filename contract."""
+    if backend == "orbax" and not model_name and not is_best:
+        from ovmr_tpu.engine.orbax_io import save_orbax
+
+        return save_orbax(directory, name, epoch, params, opt_state)
     subdir = osp.join(directory, name)
     mkdir_if_missing(subdir)
     fname = f"{model_name}.npz" if model_name else f"model-{epoch}.npz"
@@ -102,6 +112,7 @@ def load_checkpoint(
     epoch: Optional[int] = None,
     torch_converter=None,
     prefer: str = "best",
+    backend: str = "npz",
 ) -> Tuple[Any, Any, int]:
     """Load by explicit epoch; else prefer ``model-best`` then the pointer
     file — the reference's ``load_model`` defaults to the best model
@@ -110,6 +121,16 @@ def load_checkpoint(
     and reference ``model.pth.tar`` formats both load (``torch_converter``
     maps a torch checkpoint to a param pytree; default: prompt_learner).
     Returns (params, opt_state_or_None, epoch)."""
+    if backend == "orbax":
+        from ovmr_tpu.engine.orbax_io import load_orbax
+
+        try:
+            return load_orbax(
+                directory, name, params_template, opt_state_template,
+                epoch=epoch,
+            )
+        except FileNotFoundError:
+            pass  # interop: the directory may hold npz/torch checkpoints
     subdir = osp.join(directory, name)
     candidates = []
     if epoch is not None:
@@ -159,10 +180,25 @@ def load_checkpoint(
     return params, opt_state, ep
 
 
-def resume_from_checkpoint(directory, name, params_template, opt_state_template):
+def resume_from_checkpoint(
+    directory, name, params_template, opt_state_template, backend: str = "npz"
+):
     """Resume latest (pointer-tracked) if present, else return templates
     unchanged with epoch 0 (reference ``resume_from_checkpoint``,
     ``torchtools.py:118-157``)."""
+    if backend == "orbax":
+        from ovmr_tpu.engine.orbax_io import load_orbax
+
+        try:
+            params, opt_state, epoch = load_orbax(
+                directory, name, params_template, opt_state_template
+            )
+            print(f"Resumed from epoch {epoch} (orbax)")
+            if opt_state is None:
+                opt_state = opt_state_template
+            return params, opt_state, epoch
+        except FileNotFoundError:
+            pass  # fall through: interop with an npz/torch checkpoint dir
     try:
         params, opt_state, epoch = load_checkpoint(
             directory, name, params_template, opt_state_template,

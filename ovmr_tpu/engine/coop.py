@@ -121,7 +121,8 @@ class CoOp(TrainerBase):
 
     def resume_model_if_exist(self, directory) -> int:
         self.params, self.opt_state, start_epoch = ckpt.resume_from_checkpoint(
-            directory, "prompt_learner", self.params, self.opt_state
+            directory, "prompt_learner", self.params, self.opt_state,
+            backend=self.cfg.TPU.CHECKPOINT_BACKEND,
         )
         return start_epoch
 
@@ -264,6 +265,7 @@ class CoOp(TrainerBase):
         ckpt.save_checkpoint(
             self.output_dir, "prompt_learner", epoch, self.params,
             self.opt_state, model_name=model_name,
+            backend=self.cfg.TPU.CHECKPOINT_BACKEND,
         )
 
     def load_model(self, directory, epoch=None):
@@ -272,6 +274,7 @@ class CoOp(TrainerBase):
         params, _, ep = ckpt.load_checkpoint(
             directory, "prompt_learner", self.params, None, epoch=epoch,
             torch_converter=_ctx_from_torch,
+            backend=self.cfg.TPU.CHECKPOINT_BACKEND,
         )
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         print(f'Loaded ctx vectors from "{directory}" (epoch = {ep})')

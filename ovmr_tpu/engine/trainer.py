@@ -521,7 +521,8 @@ class MM_CLS_OP(TrainerBase):
     def resume_model_if_exist(self, directory) -> int:
         self.agg_params, self.opt_state, start_epoch = (
             ckpt.resume_from_checkpoint(
-                directory, "prompt_learner", self.agg_params, self.opt_state
+                directory, "prompt_learner", self.agg_params, self.opt_state,
+                backend=self.cfg.TPU.CHECKPOINT_BACKEND,
             )
         )
         return start_epoch
@@ -624,6 +625,7 @@ class MM_CLS_OP(TrainerBase):
             self.agg_params,
             self.opt_state,
             model_name=model_name,
+            backend=self.cfg.TPU.CHECKPOINT_BACKEND,
         )
         ckpt.save_torch_checkpoint(
             self.output_dir, "prompt_learner", epoch, self.agg_params,
@@ -635,7 +637,8 @@ class MM_CLS_OP(TrainerBase):
             print("Note that load_model() is skipped as no pretrained model is given")
             return
         params, _, ep = ckpt.load_checkpoint(
-            directory, "prompt_learner", self.agg_params, None, epoch=epoch
+            directory, "prompt_learner", self.agg_params, None, epoch=epoch,
+            backend=self.cfg.TPU.CHECKPOINT_BACKEND,
         )
         self.agg_params = jax.tree_util.tree_map(jnp.asarray, params)
         self.classifiers = None  # invalidate any cache from previous weights

@@ -202,6 +202,10 @@ def get_cfg_default() -> CfgNode:
     # (serving only; feature cosine >0.995). Measured NOT faster on v5e at
     # ViT-B shapes (dynamic-quant overhead) — docs/DESIGN.md; default off
     c.TPU.INT8 = False
+    # checkpoint backend for the epoch save/resume cycle: "npz" (default,
+    # path-flattened arrays + pointer file, torch-interop) or "orbax"
+    # (async-safe per-array chunking for very large/sharded states)
+    c.TPU.CHECKPOINT_BACKEND = "npz"
 
     return c
 

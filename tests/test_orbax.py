@@ -34,3 +34,51 @@ def test_orbax_roundtrip(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_orbax(str(tmp_path / "nope"), "prompt_learner", params)
+
+
+def test_trainer_orbax_backend(tmp_path):
+    """TPU.CHECKPOINT_BACKEND=orbax drives the full save -> auto-resume
+    cycle through the orbax backend inside a real trainer."""
+    pytest.importorskip("orbax.checkpoint")
+    import os
+
+    from ovmr_tpu.engine import register_all_trainers
+    from ovmr_tpu.engine.trainer import build_trainer
+
+    register_all_trainers()
+    cfg = get_cfg_default()
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 1
+    cfg.DATASET.ROOT = str(tmp_path / "data")
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.NUM_SHOTS = 4
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.TRANSFORMS = ["normalize"]
+    cfg.DATALOADER.TRAIN_X.SAMPLER = "RandomClassSampler"
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+    cfg.DATALOADER.TRAIN_X.N_INS = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 16
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.MODEL.BACKBONE.NAME = "TINY"
+    cfg.OPTIM.MAX_EPOCH = 1
+    cfg.TRAINER.NAME = "MM_CLS_OP"
+    cfg.TRAIN.CHECKPOINT_FREQ = 1
+    cfg.TEST.NO_TEST = True
+    cfg.TPU.DTYPE = "float32"
+    cfg.TPU.CHECKPOINT_BACKEND = "orbax"
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+
+    t = build_trainer(cfg)
+    t.train()
+    ckdir = os.path.join(cfg.OUTPUT_DIR, "prompt_learner")
+    assert os.path.exists(os.path.join(ckdir, "orbax-1")), os.listdir(ckdir)
+
+    # auto-resume from OUTPUT_DIR picks the orbax checkpoint back up
+    t2 = build_trainer(cfg)
+    start = t2.resume_model_if_exist(cfg.OUTPUT_DIR)
+    assert start == 1
+    a = jnp.concatenate([x.ravel() for x in
+                         np.asarray(t.agg_params["cls_token"])[None]])
+    b = jnp.concatenate([x.ravel() for x in
+                         np.asarray(t2.agg_params["cls_token"])[None]])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
