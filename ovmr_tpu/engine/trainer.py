@@ -698,6 +698,10 @@ class MM_CLS_OP(TrainerBase):
             int(cfg.TPU.CLASS_CHUNK),
             pad_to_multiple(n_cls, cfg.TPU.CLASS_PAD_MULTIPLE),
         )
+        if self.mesh is not None:
+            # chunks shard their class axis over 'data' (shard_map keeps the
+            # fused Pallas kernels per-chip) — the chunk must divide evenly
+            chunk = pad_to_multiple(chunk, self.mesh.devices.size)
         pad_n = pad_to_multiple(n_cls, chunk)
         pad_feats = np.zeros((pad_n, shots, dim), np.float32)
         pad_feats[:n_cls] = feats
@@ -709,17 +713,16 @@ class MM_CLS_OP(TrainerBase):
         mm_parts, v_parts, vt_parts, t_parts = [], [], [], []
         for start in range(0, pad_n, chunk):
             sl = slice(start, start + chunk)
+            ptok_c = self._place_classes(jnp.asarray(pad_ptok[sl]))
             t_parts.append(
-                self._jit_text_classifier(
-                    self.serving_params, jnp.asarray(pad_ptok[sl])
-                )
+                self._jit_text_classifier(self.serving_params, ptok_c)
             )
             mm_c, v_c, vt_c = self._jit_heads(
                 self.serving_params,
                 self.agg_params,
-                jnp.asarray(pad_feats[sl], self.dtype),
-                jnp.asarray(pad_ptok[sl]),
-                jnp.asarray(pad_eot[sl]),
+                self._place_classes(jnp.asarray(pad_feats[sl], self.dtype)),
+                ptok_c,
+                self._place_classes(jnp.asarray(pad_eot[sl])),
             )
             mm_parts.append(mm_c)
             v_parts.append(v_c)
@@ -754,14 +757,42 @@ class MM_CLS_OP(TrainerBase):
         ckpt.export_classifiers_torch(out, self.output_dir)
         return out
 
+    def _shard_over_classes(self, fn, n_replicated: int):
+        """jit `fn`, sharding every arg past the first `n_replicated` over
+        the mesh 'data' axis (class-axis parallelism for the generation
+        chunks; shard_map — not plain jit — keeps the Pallas kernels
+        per-chip, same rationale as make_feature_extractor)."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def wrapper(*args):
+            n_data = len(args) - n_replicated
+            return shard_map(
+                fn,
+                mesh=self.mesh,
+                in_specs=tuple([P()] * n_replicated + [P("data")] * n_data),
+                out_specs=P("data"),
+                check_rep=False,
+            )(*args)
+
+        return jax.jit(wrapper)
+
+    def _place_classes(self, x):
+        from ovmr_tpu.parallel import shard_batch
+
+        return shard_batch(self.mesh, x) if self.mesh is not None else x
+
     @property
     def _jit_text_classifier(self):
         if not hasattr(self, "_jit_text_classifier_fn"):
-            self._jit_text_classifier_fn = jax.jit(
+            self._jit_text_classifier_fn = self._shard_over_classes(
                 lambda p, tok: ovmr.text_classifier(
                     p, self.clip_cfg, tok, attn_fn=self.attn_fn,
                     block_fn=self.block_fn,
-                )
+                ),
+                n_replicated=1,
             )
         return self._jit_text_classifier_fn
 
@@ -790,7 +821,7 @@ class MM_CLS_OP(TrainerBase):
                     block_fn=self.block_fn,
                 )
 
-            self._jit_heads_fn = jax.jit(heads)
+            self._jit_heads_fn = self._shard_over_classes(heads, n_replicated=2)
         return self._jit_heads_fn
 
     def prepare_test(self):
