@@ -41,9 +41,19 @@ class OVMRGenerator:
         )
         self.agg_params = jax.tree_util.tree_map(jnp.asarray, agg_params)
         self.attn_fn = make_attn_fn(None)
+        # the shipped TPU fast path (same selection as the trainers): fused
+        # Pallas blocks; Mosaic doesn't compile on CPU backends
+        self.block_fn = None
+        if jax.default_backend() == "tpu" and dtype != jnp.float16:
+            from ovmr_tpu.ops.block_fused import fused_residual_block
+
+            self.block_fn = fused_residual_block
         self._encode = jax.jit(
             lambda p, x: l2_normalize(
-                jclip.encode_image(p, self.clip_cfg, x, attn_fn=self.attn_fn)
+                jclip.encode_image(
+                    p, self.clip_cfg, x, attn_fn=self.attn_fn,
+                    block_fn=self.block_fn,
+                )
             )
         )
 
@@ -123,7 +133,8 @@ class OVMRGenerator:
     ) -> Dict[str, np.ndarray]:
         ptok, eot, vtok = ovmr.build_prompt_tokens(classnames)
         t_cls = ovmr.text_classifier(
-            self.clip_params, self.clip_cfg, jnp.asarray(ptok), attn_fn=self.attn_fn
+            self.clip_params, self.clip_cfg, jnp.asarray(ptok),
+            attn_fn=self.attn_fn, block_fn=self.block_fn,
         )
         out = ovmr.generate_classifiers_from_feats(
             self.clip_params,
@@ -136,6 +147,7 @@ class OVMRGenerator:
             t_cls,
             eval_tau=eval_tau,
             attn_fn=self.attn_fn,
+            block_fn=self.block_fn,
         )
         return {key: np.asarray(v, np.float32) for key, v in out.items()}
 
