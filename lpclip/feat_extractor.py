@@ -15,6 +15,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor JAX_PLATFORMS explicitly (some environments select the accelerator
+# platform programmatically, which silently overrides the env var)
+_platforms = os.environ.get("JAX_PLATFORMS")
+if _platforms:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _platforms)
+    except Exception:
+        pass
+
 import numpy as np
 
 
@@ -74,7 +85,14 @@ def main(args):
     clip_params = jclip.cast_params(
         jax.tree_util.tree_map(jnp.asarray, clip_params), dtype
     )
-    attn_fn = make_attn_fn(jax.default_backend() == "tpu")
+    attn_fn = make_attn_fn(
+        cfg.TPU.USE_PALLAS_ATTENTION if jax.default_backend() == "tpu" else False
+    )
+    block_fn = None
+    if cfg.TPU.USE_FUSED_BLOCK and jax.default_backend() == "tpu":
+        from ovmr_tpu.ops.block_fused import fused_residual_block
+
+        block_fn = fused_residual_block
     # handles both float-CHW and uint8-HWC batches (the default eval path
     # ships uint8 and normalizes on device)
     from ovmr_tpu.engine.trainer import make_feature_extractor
@@ -83,6 +101,7 @@ def main(args):
         clip_cfg, attn_fn, dtype, cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
         loader.batch_size,
         unit_norm=False,  # the reference dumps raw visual features
+        block_fn=block_fn,
     )
 
     from ovmr_tpu.data.prefetch import prefetch_batches

@@ -359,13 +359,28 @@ def _g_limits(l: int, d: int, hidden: int, itemsize: int):
     return g_attn, g_mlp
 
 
-def _block_flavor(x, p):
-    """Static trace-time routing facts shared by forward and backward."""
+def _block_flavor(x, p, interpret=False):
+    """Static trace-time routing facts shared by forward and backward.
+
+    `unfused` also trips for widths that aren't a multiple of the 128-lane
+    register: Mosaic's layout inference rejects the [G, L, D] -> [G*L, D]
+    flatten for sub-lane D (observed: TINY's D=64 at batch 16, "unsupported
+    shape cast"). Every real CLIP tower (512/768/1024 wide, 2048-4096
+    hidden) is lane-aligned; only debug towers fall back to XLA. Interpret
+    mode has no Mosaic, so tests keep exercising the kernels at any width."""
     itemsize = x.dtype.itemsize
-    quantized = p["w_qkv"].dtype == jnp.int8 or x.dtype == jnp.float16
+    d = x.shape[-1]
+    unfused = (
+        p["w_qkv"].dtype == jnp.int8
+        or x.dtype == jnp.float16
+        or (
+            not interpret
+            and (d % 128 != 0 or p["c_fc_w"].shape[-1] % 128 != 0)
+        )
+    )
     attn_w = (p["w_qkv"].size + p["w_out"].size) * itemsize
     mlp_w = (p["c_fc_w"].size + p["c_proj_w"].size) * itemsize
-    return quantized, attn_w, mlp_w
+    return unfused, attn_w, mlp_w
 
 
 def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False, want_y=False):
@@ -377,13 +392,13 @@ def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False, want_y=False):
     # int8 weights (dynamic-quant serving) and fp16 activations (the
     # reference-numerics TPU.DTYPE=float16 path; Mosaic's fp16 lowering is
     # not a supported TPU compute type) use the XLA block
-    quantized, attn_w, mlp_w = _block_flavor(x, p)
+    unfused, attn_w, mlp_w = _block_flavor(x, p, interpret)
     g_attn, g_mlp = _g_limits(l, d, hidden, itemsize)
 
     def ret(z, y):
         return (z, y) if want_y else z
 
-    attn_fused = not quantized and attn_w <= _ATTN_W_CUTOFF
+    attn_fused = not unfused and attn_w <= _ATTN_W_CUTOFF
     if attn_fused:
         if attn_w > _ATTN_W_SMALL:
             g_attn = 1
@@ -396,7 +411,7 @@ def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False, want_y=False):
         y = x + multi_head_attention(
             layer_norm(x, p["ln_1_scale"], p["ln_1_bias"]), p, n_head, mask
         )
-    if not quantized and mlp_w <= _MLP_W_CUTOFF:
+    if not unfused and mlp_w <= _MLP_W_CUTOFF:
         return ret(
             fused_mlp_half(
                 y, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
@@ -449,9 +464,9 @@ def _fused_block_bwd(n_head, interpret, res, g):
     from ovmr_tpu.ops.layers import residual_attention_block
 
     x, y, p, mask = res
-    quantized, attn_w, mlp_w = _block_flavor(x, p)
+    unfused, attn_w, mlp_w = _block_flavor(x, p, interpret)
     pallas_dx = (
-        not quantized
+        not unfused
         and attn_w <= _ATTN_W_CUTOFF
         and mlp_w <= _MLP_W_CUTOFF
     )
