@@ -81,6 +81,16 @@ VIT_L14 = CLIPConfig(
     transformer_heads=12,
     transformer_layers=12,
 )
+VIT_L14_336 = CLIPConfig(
+    embed_dim=768,
+    image_resolution=336,
+    vision_layers=24,
+    vision_width=1024,
+    vision_patch_size=14,
+    transformer_width=768,
+    transformer_heads=12,
+    transformer_layers=12,
+)
 
 # test-scale config: tiny everything, exercised against torch goldens
 TINY = CLIPConfig(
@@ -100,6 +110,7 @@ CONFIGS = {
     "ViT-B/16": VIT_B16,
     "ViT-B/32": VIT_B32,
     "ViT-L/14": VIT_L14,
+    "ViT-L/14@336px": VIT_L14_336,
     "TINY": TINY,
 }
 
