@@ -348,14 +348,23 @@ _MLP_W_CUTOFF = 10 * 1024 * 1024
 _TILE_BYTES = 6 * 1024 * 1024
 
 
+# Mosaic's scoped-VMEM peak tracks sublane-padded tokens per tile, not just
+# the byte estimate above: at ViT-B/32 (L=50 -> 56 padded) g=16 (896 padded
+# tokens) overflows by 1.16 MB while ViT-B/16's g=4 (4*200=800) compiles and
+# wins on chip. Cap tiles at 800 padded tokens.
+_TILE_TOKENS = 800
+
+
 def _g_limits(l: int, d: int, hidden: int, itemsize: int):
+    l_pad = -8 * (-l // 8)
+    g_tok = max(1, _TILE_TOKENS // l_pad)
     per_g_attn = l * d * itemsize * 4 + l * l * 4
     per_g_mlp = l * hidden * 4 + l * d * itemsize * 2
-    g_attn = max(1, min(16, _TILE_BYTES // max(per_g_attn, 1)))
+    g_attn = max(1, min(16, g_tok, _TILE_BYTES // max(per_g_attn, 1)))
     # the MLP half budgets a little higher: its weights leave more VMEM
     # free than the attention half's scores workspace (g=2 at ViT-B shapes
     # is the measured winner, docs/DESIGN.md)
-    g_mlp = max(1, min(16, (7 * 1024 * 1024) // max(per_g_mlp, 1)))
+    g_mlp = max(1, min(16, g_tok, (7 * 1024 * 1024) // max(per_g_mlp, 1)))
     return g_attn, g_mlp
 
 
@@ -453,10 +462,12 @@ def _bwd_g_limits(l: int, d: int, hidden: int, itemsize: int):
     """Batch-tile limits for the dx kernels (more live fp32 temporaries
     than forward: the MLP keeps 4 [L, hidden] fp32 arrays, the attention
     half ~4 [L, L] fp32 per-head arrays + dqkv)."""
+    l_pad = -8 * (-l // 8)
+    g_tok = max(1, _TILE_TOKENS // l_pad)
     per_g_attn = l * d * itemsize * 10 + 16 * l * l + 6 * l * 3 * d
     per_g_mlp = 16 * l * hidden + 6 * l * d * itemsize
-    g_attn = max(1, min(16, (5 * 1024 * 1024) // max(per_g_attn, 1)))
-    g_mlp = max(1, min(16, (5 * 1024 * 1024) // max(per_g_mlp, 1)))
+    g_attn = max(1, min(16, g_tok, (5 * 1024 * 1024) // max(per_g_attn, 1)))
+    g_mlp = max(1, min(16, g_tok, (5 * 1024 * 1024) // max(per_g_mlp, 1)))
     return g_attn, g_mlp
 
 
