@@ -245,3 +245,20 @@ def test_fused_block_bf16_gradients_close(setup):
     assert np.abs(gf - gr).max() / denom < 0.03
     cos = (gf * gr).sum() / (np.linalg.norm(gf) * np.linalg.norm(gr) + 1e-30)
     assert cos > 0.999
+
+
+def test_tile_caps_padded_tokens():
+    """Tile selection stays within the measured scoped-VMEM envelope:
+    <= 800 sublane-padded tokens per tile (896 overflowed on chip at
+    ViT-B/32's L=50, while ViT-B/16's g=4 x 200 = 800 compiles and wins)."""
+    from ovmr_tpu.ops.block_fused import _bwd_g_limits, _g_limits
+
+    for l, d, hidden in [(50, 768, 3072), (197, 768, 3072), (77, 512, 2048),
+                         (257, 1024, 4096), (577, 1024, 4096)]:
+        l_pad = -8 * (-l // 8)
+        for fn in (_g_limits, _bwd_g_limits):
+            g_attn, g_mlp = fn(l, d, hidden, 2)
+            assert g_attn * l_pad <= 800, (fn.__name__, l, g_attn)
+            assert g_mlp * l_pad <= 800, (fn.__name__, l, g_mlp)
+    # ViT-B/16's measured winners are unchanged by the cap
+    assert _g_limits(197, 768, 3072, 2) == (4, 2)
