@@ -106,11 +106,43 @@ TINY = CLIPConfig(
     transformer_layers=2,
 )
 
+# ModifiedResNet family (public OpenAI CLIP architecture hyperparameters,
+# recoverable from the checkpoints' state-dict shapes — reference
+# ``clip/model.py:870-886`` build_model)
+RN50 = CLIPConfig(
+    embed_dim=1024, vision_layers=(3, 4, 6, 3), vision_width=64,
+    vision_patch_size=None,
+)
+RN101 = CLIPConfig(
+    embed_dim=512, vision_layers=(3, 4, 23, 3), vision_width=64,
+    vision_patch_size=None,
+)
+RN50x4 = CLIPConfig(
+    embed_dim=640, image_resolution=288, vision_layers=(4, 6, 10, 6),
+    vision_width=80, vision_patch_size=None,
+    transformer_width=640, transformer_heads=10,
+)
+RN50x16 = CLIPConfig(
+    embed_dim=768, image_resolution=384, vision_layers=(6, 8, 18, 8),
+    vision_width=96, vision_patch_size=None,
+    transformer_width=768, transformer_heads=12,
+)
+RN50x64 = CLIPConfig(
+    embed_dim=1024, image_resolution=448, vision_layers=(3, 15, 36, 10),
+    vision_width=128, vision_patch_size=None,
+    transformer_width=1024, transformer_heads=16,
+)
+
 CONFIGS = {
     "ViT-B/16": VIT_B16,
     "ViT-B/32": VIT_B32,
     "ViT-L/14": VIT_L14,
     "ViT-L/14@336px": VIT_L14_336,
+    "RN50": RN50,
+    "RN101": RN101,
+    "RN50x4": RN50x4,
+    "RN50x16": RN50x16,
+    "RN50x64": RN50x64,
     "TINY": TINY,
 }
 
@@ -146,20 +178,26 @@ def init_params(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
     vw, tw = cfg.vision_width, cfg.transformer_width
     vscale = vw ** -0.5
     normal = jax.random.normal
-    patch_in = 3 * cfg.vision_patch_size * cfg.vision_patch_size
-    visual = {
-        "patch_embed_w": (normal(kp, (patch_in, vw)) * vscale).astype(dtype),
-        "class_embedding": (normal(kv, (vw,)) * vscale).astype(dtype),
-        "positional_embedding": (
-            normal(kpe, (cfg.num_patches + 1, vw)) * vscale
-        ).astype(dtype),
-        "ln_pre_scale": jnp.ones((vw,), dtype),
-        "ln_pre_bias": jnp.zeros((vw,), dtype),
-        "blocks": _init_blocks(kvb, cfg.vision_layers, vw, dtype),
-        "ln_post_scale": jnp.ones((vw,), dtype),
-        "ln_post_bias": jnp.zeros((vw,), dtype),
-        "proj": (normal(kt, (vw, cfg.embed_dim)) * vscale).astype(dtype),
-    }
+    if cfg.is_resnet:
+        from ovmr_tpu.models.resnet import init_resnet_visual
+
+        visual = init_resnet_visual(kv, cfg, dtype)
+        patch_in = None
+    else:
+        patch_in = 3 * cfg.vision_patch_size * cfg.vision_patch_size
+        visual = {
+            "patch_embed_w": (normal(kp, (patch_in, vw)) * vscale).astype(dtype),
+            "class_embedding": (normal(kv, (vw,)) * vscale).astype(dtype),
+            "positional_embedding": (
+                normal(kpe, (cfg.num_patches + 1, vw)) * vscale
+            ).astype(dtype),
+            "ln_pre_scale": jnp.ones((vw,), dtype),
+            "ln_pre_bias": jnp.zeros((vw,), dtype),
+            "blocks": _init_blocks(kvb, cfg.vision_layers, vw, dtype),
+            "ln_post_scale": jnp.ones((vw,), dtype),
+            "ln_post_bias": jnp.zeros((vw,), dtype),
+            "proj": (normal(kt, (vw, cfg.embed_dim)) * vscale).astype(dtype),
+        }
     text = {
         "token_embedding": (normal(ke, (cfg.vocab_size, tw)) * 0.02).astype(dtype),
         "positional_embedding": (

@@ -125,6 +125,81 @@ def encode_image_resnet(params: dict, images: jax.Array, n_head: int) -> jax.Arr
 
 
 # --------------------------------------------------------------------------
+# random init (name-based smoke builds; checkpoints use the importer below)
+# --------------------------------------------------------------------------
+
+
+def init_resnet_visual(key, cfg, dtype=jnp.float32) -> dict:
+    """Shape-correct random visual tree for a named RN backbone with no
+    checkpoint (zero-egress smoke runs). Matches the reference's ResNet
+    init semantics where it specifies them (``clip/model.py:773-788``:
+    attnpool projections ~ N(0, C^-0.5), every bottleneck's bn3 gamma
+    zeroed); conv kernels use fan-in-scaled normals standing in for
+    torch's default kaiming."""
+    width = cfg.vision_width
+    embed_c = width * 32
+    keys = iter(jax.random.split(key, 256))
+
+    def conv(out_c, in_c, k):
+        fan_in = in_c * k * k
+        return (
+            jax.random.normal(next(keys), (out_c, in_c, k, k)) * fan_in**-0.5
+        ).astype(dtype)
+
+    def bn(c, zero_scale=False):
+        return {
+            "scale": jnp.zeros((c,), dtype) if zero_scale else jnp.ones((c,), dtype),
+            "bias": jnp.zeros((c,), dtype),
+            "mean": jnp.zeros((c,), jnp.float32),
+            "var": jnp.ones((c,), jnp.float32),
+        }
+
+    stem = {
+        "conv1_w": conv(width // 2, 3, 3),
+        "bn1": bn(width // 2),
+        "conv2_w": conv(width // 2, width // 2, 3),
+        "bn2": bn(width // 2),
+        "conv3_w": conv(width, width // 2, 3),
+        "bn3": bn(width),
+    }
+    stages = []
+    inplanes = width
+    for stage_i, n_blocks in enumerate(cfg.vision_layers):
+        planes = width * (2**stage_i)
+        stage = []
+        for b in range(n_blocks):
+            block = {
+                "conv1_w": conv(planes, inplanes, 1),
+                "bn1": bn(planes),
+                "conv2_w": conv(planes, planes, 3),
+                "bn2": bn(planes),
+                "conv3_w": conv(planes * 4, planes, 1),
+                "bn3": bn(planes * 4, zero_scale=True),
+            }
+            if b == 0:
+                block["down_conv_w"] = conv(planes * 4, inplanes, 1)
+                block["down_bn"] = bn(planes * 4)
+            stage.append(block)
+            inplanes = planes * 4
+        stages.append(stage)
+
+    spatial = cfg.image_resolution // 32
+    std = embed_c**-0.5
+    attnpool = {
+        "positional_embedding": (
+            jax.random.normal(next(keys), (spatial * spatial + 1, embed_c)) * std
+        ).astype(dtype),
+    }
+    for name, out_c in (("q", embed_c), ("k", embed_c), ("v", embed_c),
+                        ("c", cfg.embed_dim)):
+        attnpool[f"{name}_w"] = (
+            jax.random.normal(next(keys), (embed_c, out_c)) * std
+        ).astype(dtype)
+        attnpool[f"{name}_b"] = jnp.zeros((out_c,), dtype)
+    return {"stem": stem, "stages": stages, "attnpool": attnpool}
+
+
+# --------------------------------------------------------------------------
 # torch import
 # --------------------------------------------------------------------------
 
