@@ -92,6 +92,19 @@ VIT_L14_336 = CLIPConfig(
     transformer_layers=12,
 )
 
+# test-scale ModifiedResNet config (matches the recorded torch golden
+# fixture tests/fixtures/clip_rn_tiny_golden.npz); lets the CLI smoke-run
+# the full ResNet trainer surface on CPU
+TINY_RN = CLIPConfig(
+    embed_dim=64,
+    image_resolution=64,
+    vision_layers=(1, 1, 1, 1),
+    vision_width=8,
+    transformer_width=64,
+    transformer_heads=2,
+    transformer_layers=2,
+)
+
 # test-scale config: tiny everything, exercised against torch goldens
 TINY = CLIPConfig(
     embed_dim=64,
@@ -144,6 +157,7 @@ CONFIGS = {
     "RN50x16": RN50x16,
     "RN50x64": RN50x64,
     "TINY": TINY,
+    "TINY_RN": TINY_RN,
 }
 
 

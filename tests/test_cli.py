@@ -94,3 +94,31 @@ def test_cli_train_and_eval(tmp_path):
     )
     assert r3.returncode == 0, r3.stdout + r3.stderr
     assert "accuracy" in r3.stdout
+
+
+def test_cli_resnet_backbone_eval(tmp_path):
+    """The full trainer surface runs with a ModifiedResNet backbone by
+    name (TINY_RN smoke init; real RN50..RN50x64 load via checkpoints):
+    zero-shot eval writes the `=> result` block end-to-end."""
+    out = str(tmp_path / "zs_rn")
+    res = run_cli(
+        [
+            "--root", str(tmp_path / "data"),
+            "--seed", "1",
+            "--trainer", "ZeroshotCLIP",
+            "--output-dir", out,
+            "--eval-only",
+            "DATASET.NAME", "Synthetic",
+            "DATASET.NUM_SHOTS", "4",
+            "INPUT.SIZE", "(64, 64)",
+            "INPUT.TRANSFORMS", "['normalize']",
+            "DATALOADER.TEST.BATCH_SIZE", "16",
+            "DATALOADER.NUM_WORKERS", "2",
+            "MODEL.BACKBONE.NAME", "TINY_RN",
+            "TPU.DTYPE", "float32",
+        ]
+    )
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    log = open(osp.join(out, "log.txt")).read()
+    assert "=> result" in log
+    assert "* accuracy:" in log
