@@ -178,8 +178,10 @@ def get_cfg_default() -> CfgNode:
     # pad per-dataset class counts up to multiples of this for static shapes
     c.TPU.CLASS_PAD_MULTIPLE = 8
     # classifier generation processes classes in chunks of this size when the
-    # class count exceeds it (bounds text-tower activation memory at 21k scale)
-    c.TPU.CLASS_CHUNK = 1024
+    # class count exceeds it (bounds text-tower activation memory at 21k
+    # scale); 2048 measured fastest at 8192-class scale on chip — ~8% over
+    # 1024 (fewer dispatches), while 4096 loses it back (docs/DESIGN.md)
+    c.TPU.CLASS_CHUNK = 2048
     # use the Pallas fused attention kernel; default off — the XLA path
     # measured equal-or-faster inside full programs on v5e (docs/DESIGN.md)
     c.TPU.USE_PALLAS_ATTENTION = False
