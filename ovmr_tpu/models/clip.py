@@ -92,14 +92,18 @@ VIT_L14_336 = CLIPConfig(
     transformer_layers=12,
 )
 
-# test-scale ModifiedResNet config (matches the recorded torch golden
-# fixture tests/fixtures/clip_rn_tiny_golden.npz); lets the CLI smoke-run
-# the full ResNet trainer surface on CPU
+# test-scale ModifiedResNet config: vision tower shaped like the recorded
+# golden fixture's (tests/fixtures/clip_rn_tiny_golden.npz sniffs layers
+# (1,1,1,1)/width 8/res 64); the text tower is TINY-sized with the REAL
+# vocab so the CLI can smoke-run the full ResNet trainer surface on CPU
+# (the fixture's own text tower is 128-wide/512-vocab — load it through
+# the importer's shape sniffer, not by this name)
 TINY_RN = CLIPConfig(
     embed_dim=64,
     image_resolution=64,
     vision_layers=(1, 1, 1, 1),
     vision_width=8,
+    vision_patch_size=0,
     transformer_width=64,
     transformer_heads=2,
     transformer_layers=2,
@@ -124,25 +128,25 @@ TINY = CLIPConfig(
 # ``clip/model.py:870-886`` build_model)
 RN50 = CLIPConfig(
     embed_dim=1024, vision_layers=(3, 4, 6, 3), vision_width=64,
-    vision_patch_size=None,
+    vision_patch_size=0,
 )
 RN101 = CLIPConfig(
     embed_dim=512, vision_layers=(3, 4, 23, 3), vision_width=64,
-    vision_patch_size=None,
+    vision_patch_size=0,
 )
 RN50x4 = CLIPConfig(
     embed_dim=640, image_resolution=288, vision_layers=(4, 6, 10, 6),
-    vision_width=80, vision_patch_size=None,
+    vision_width=80, vision_patch_size=0,
     transformer_width=640, transformer_heads=10,
 )
 RN50x16 = CLIPConfig(
     embed_dim=768, image_resolution=384, vision_layers=(6, 8, 18, 8),
-    vision_width=96, vision_patch_size=None,
+    vision_width=96, vision_patch_size=0,
     transformer_width=768, transformer_heads=12,
 )
 RN50x64 = CLIPConfig(
     embed_dim=1024, image_resolution=448, vision_layers=(3, 15, 36, 10),
-    vision_width=128, vision_patch_size=None,
+    vision_width=128, vision_patch_size=0,
     transformer_width=1024, transformer_heads=16,
 )
 
@@ -196,7 +200,6 @@ def init_params(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
         from ovmr_tpu.models.resnet import init_resnet_visual
 
         visual = init_resnet_visual(kv, cfg, dtype)
-        patch_in = None
     else:
         patch_in = 3 * cfg.vision_patch_size * cfg.vision_patch_size
         visual = {

@@ -348,16 +348,24 @@ _MLP_W_CUTOFF = 10 * 1024 * 1024
 _TILE_BYTES = 6 * 1024 * 1024
 
 
-# Mosaic's scoped-VMEM peak tracks sublane-padded tokens per tile, not just
-# the byte estimate above: at ViT-B/32 (L=50 -> 56 padded) g=16 (896 padded
-# tokens) overflows by 1.16 MB while ViT-B/16's g=4 (4*200=800) compiles and
-# wins on chip. Cap tiles at 800 padded tokens.
-_TILE_TOKENS = 800
+# Mosaic's scoped-VMEM peak tracks the sublane-padded x-tile footprint, not
+# just the live-byte estimates below. On-chip anchor points (bf16):
+# ViT-B/32 g=16 (16 x 56pad x 768 = 1.376 MB) overflows scoped VMEM by
+# 1.16 MB, while ViT-B/16 g=4 (4 x 200 x 768 = 1.229 MB) and the text
+# tower's g=16 (16 x 80 x 512 = 1.311 MB — the shipped classifier-gen
+# recipe) both compile and win. Cap padded-tile bytes just above the
+# largest proven-good point.
+_TILE_X_BYTES = 16 * 80 * 512 * 2
+
+
+def _tile_token_limit(l: int, d: int, itemsize: int) -> int:
+    """Max images/prompts per tile for the padded x-tile byte envelope."""
+    l_pad = -8 * (-l // 8)
+    return max(1, _TILE_X_BYTES // (l_pad * d * itemsize))
 
 
 def _g_limits(l: int, d: int, hidden: int, itemsize: int):
-    l_pad = -8 * (-l // 8)
-    g_tok = max(1, _TILE_TOKENS // l_pad)
+    g_tok = _tile_token_limit(l, d, itemsize)
     per_g_attn = l * d * itemsize * 4 + l * l * 4
     per_g_mlp = l * hidden * 4 + l * d * itemsize * 2
     g_attn = max(1, min(16, g_tok, _TILE_BYTES // max(per_g_attn, 1)))
@@ -462,8 +470,7 @@ def _bwd_g_limits(l: int, d: int, hidden: int, itemsize: int):
     """Batch-tile limits for the dx kernels (more live fp32 temporaries
     than forward: the MLP keeps 4 [L, hidden] fp32 arrays, the attention
     half ~4 [L, L] fp32 per-head arrays + dqkv)."""
-    l_pad = -8 * (-l // 8)
-    g_tok = max(1, _TILE_TOKENS // l_pad)
+    g_tok = _tile_token_limit(l, d, itemsize)
     per_g_attn = l * d * itemsize * 10 + 16 * l * l + 6 * l * 3 * d
     per_g_mlp = 16 * l * hidden + 6 * l * d * itemsize
     g_attn = max(1, min(16, g_tok, (5 * 1024 * 1024) // max(per_g_attn, 1)))

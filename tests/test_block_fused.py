@@ -247,18 +247,26 @@ def test_fused_block_bf16_gradients_close(setup):
     assert cos > 0.999
 
 
-def test_tile_caps_padded_tokens():
+def test_tile_caps_padded_x_bytes():
     """Tile selection stays within the measured scoped-VMEM envelope:
-    <= 800 sublane-padded tokens per tile (896 overflowed on chip at
-    ViT-B/32's L=50, while ViT-B/16's g=4 x 200 = 800 compiles and wins)."""
-    from ovmr_tpu.ops.block_fused import _bwd_g_limits, _g_limits
+    padded x-tile bytes <= the largest proven-good point (text g=16 =
+    1.311 MB); ViT-B/32's g=16 (1.376 MB) overflowed on chip."""
+    from ovmr_tpu.ops.block_fused import (
+        _TILE_X_BYTES,
+        _bwd_g_limits,
+        _g_limits,
+    )
 
     for l, d, hidden in [(50, 768, 3072), (197, 768, 3072), (77, 512, 2048),
                          (257, 1024, 4096), (577, 1024, 4096)]:
         l_pad = -8 * (-l // 8)
         for fn in (_g_limits, _bwd_g_limits):
             g_attn, g_mlp = fn(l, d, hidden, 2)
-            assert g_attn * l_pad <= 800, (fn.__name__, l, g_attn)
-            assert g_mlp * l_pad <= 800, (fn.__name__, l, g_mlp)
-    # ViT-B/16's measured winners are unchanged by the cap
+            assert g_attn * l_pad * d * 2 <= _TILE_X_BYTES, (fn.__name__, l)
+            assert g_mlp * l_pad * d * 2 <= _TILE_X_BYTES, (fn.__name__, l)
+    # measured winners are preserved: ViT-B/16 (4, 2); the text tower's
+    # shipped g=16 attention tile (classifier-gen recipe); B/32 capped
+    # below the overflowing g=16
     assert _g_limits(197, 768, 3072, 2) == (4, 2)
+    assert _g_limits(77, 512, 2048, 2)[0] == 16
+    assert _g_limits(50, 768, 3072, 2)[0] < 16
