@@ -130,26 +130,107 @@ class OVMRGenerator:
         classnames: Sequence[str],
         exemplar_feats: np.ndarray,
         eval_tau: float = 10.0,
+        chunk_size: int = 2048,
     ) -> Dict[str, np.ndarray]:
+        """Class counts above ``chunk_size`` run the class axis in chunks
+        (one compiled program reused per chunk, the trainer's
+        ImageNet-21k-scale recipe — bounds text-tower activations); the
+        preference fusion then runs once over the full set. 2048 is the
+        measured-fastest chunk on chip (docs/DESIGN.md)."""
         ptok, eot, vtok = ovmr.build_prompt_tokens(classnames)
-        t_cls = ovmr.text_classifier(
-            self.clip_params, self.clip_cfg, jnp.asarray(ptok),
-            attn_fn=self.attn_fn, block_fn=self.block_fn,
+        n = len(classnames)
+        if n <= chunk_size:
+            t_cls = ovmr.text_classifier(
+                self.clip_params, self.clip_cfg, jnp.asarray(ptok),
+                attn_fn=self.attn_fn, block_fn=self.block_fn,
+            )
+            out = ovmr.generate_classifiers_from_feats(
+                self.clip_params,
+                self.clip_cfg,
+                self.agg_params,
+                jnp.asarray(exemplar_feats, self.dtype),
+                jnp.asarray(ptok),
+                jnp.asarray(eot),
+                jnp.asarray(vtok),
+                t_cls,
+                eval_tau=eval_tau,
+                attn_fn=self.attn_fn,
+                block_fn=self.block_fn,
+            )
+            return {key: np.asarray(v, np.float32) for key, v in out.items()}
+
+        # pad to a chunk multiple with the visual-template row so every
+        # chunk reuses one compiled program
+        pad_n = -chunk_size * (-n // chunk_size)
+        ptok_p = np.tile(np.asarray(vtok), (pad_n, 1)).astype(np.int32)
+        ptok_p[:n] = np.asarray(ptok)
+        eot_p = np.full(pad_n, int(np.argmax(np.asarray(vtok) == 49407)), np.int32)
+        eot_p[:n] = np.asarray(eot)
+        feats_p = np.zeros((pad_n,) + exemplar_feats.shape[1:], np.float32)
+        feats_p[:n] = exemplar_feats
+
+        def jit_text(cp, pt):
+            return ovmr.text_classifier(
+                cp, self.clip_cfg, pt, attn_fn=self.attn_fn,
+                block_fn=self.block_fn,
+            )
+
+        def jit_heads(cp, ap, feats, pt, et, vt):
+            m = feats.shape[0]
+            pe = jclip.embed_tokens(cp, pt).astype(feats.dtype)
+            ve = jnp.broadcast_to(
+                jclip.embed_tokens(cp, vt[None]).astype(feats.dtype),
+                (m, vt.shape[0], feats.shape[-1]),
+            )
+            return ovmr.classifier_heads(
+                cp, self.clip_cfg, ap, feats, pe, ve, et,
+                attn_fn=self.attn_fn, block_fn=self.block_fn,
+            )
+
+        jit_text = jax.jit(jit_text)
+        jit_heads = jax.jit(jit_heads)
+        vtok_dev = jnp.asarray(vtok)
+        mm_parts, v_parts, vt_parts, t_parts = [], [], [], []
+        for s in range(0, pad_n, chunk_size):
+            sl = slice(s, s + chunk_size)
+            pt = jnp.asarray(ptok_p[sl])
+            t_parts.append(jit_text(self.clip_params, pt))
+            mm_c, v_c, vt_c = jit_heads(
+                self.clip_params, self.agg_params,
+                jnp.asarray(feats_p[sl], self.dtype), pt,
+                jnp.asarray(eot_p[sl]), vtok_dev,
+            )
+            mm_parts.append(mm_c)
+            v_parts.append(v_c)
+            vt_parts.append(vt_c)
+
+        def cat(parts):
+            return np.concatenate([np.asarray(p, np.float32) for p in parts])[:n]
+
+        mm_cls, v_cls, t_cls, vokens = (
+            cat(mm_parts), cat(v_parts), cat(t_parts), cat(vt_parts)
         )
-        out = ovmr.generate_classifiers_from_feats(
-            self.clip_params,
-            self.clip_cfg,
-            self.agg_params,
-            jnp.asarray(exemplar_feats, self.dtype),
-            jnp.asarray(ptok),
-            jnp.asarray(eot),
-            jnp.asarray(vtok),
-            t_cls,
-            eval_tau=eval_tau,
-            attn_fn=self.attn_fn,
-            block_fn=self.block_fn,
+        logit_scale = np.exp(
+            np.asarray(self.clip_params["logit_scale"], np.float32)
         )
-        return {key: np.asarray(v, np.float32) for key, v in out.items()}
+        fusion_weight = np.asarray(
+            ovmr.fusion_from_classifiers(
+                jnp.asarray(exemplar_feats, jnp.float32),
+                jnp.asarray(mm_cls),
+                jnp.asarray(v_cls),
+                jnp.asarray(t_cls),
+                logit_scale,
+                float(eval_tau),
+            ),
+            np.float32,
+        )
+        return {
+            "mm_classifier": mm_cls,
+            "vision_classifier": v_cls,
+            "text_classifier": t_cls,
+            "fusion_weight": fusion_weight,
+            "visual_tokens": vokens,
+        }
 
     def classify(
         self, images, classifiers: Dict[str, np.ndarray], mode: str = "fusion"

@@ -39,3 +39,21 @@ def test_generate_and_classify(gen, tmp_path):
     np.testing.assert_allclose(
         loaded["mm_classifier"], out["mm_classifier"], atol=1e-6
     )
+
+
+def test_chunked_generate_matches_single_program(gen):
+    """Above chunk_size the API runs the trainer's chunked recipe; the
+    classifiers and fusion weights must match the one-shot program (the
+    F1 cross-validation sees identical logits either way)."""
+    rng = np.random.RandomState(1)
+    classnames = [f"thing {i}" for i in range(7)]
+    feats = rng.rand(7, 4, gen.clip_cfg.embed_dim).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    single = gen.generate_from_features(classnames, feats)
+    chunked = gen.generate_from_features(classnames, feats, chunk_size=3)
+    for key in ("mm_classifier", "vision_classifier", "text_classifier",
+                "fusion_weight", "visual_tokens"):
+        np.testing.assert_allclose(
+            chunked[key], single[key], atol=2e-5, rtol=2e-5, err_msg=key
+        )
