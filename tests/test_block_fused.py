@@ -270,3 +270,47 @@ def test_tile_caps_padded_x_bytes():
     assert _g_limits(197, 768, 3072, 2) == (4, 2)
     assert _g_limits(77, 512, 2048, 2)[0] == 16
     assert _g_limits(50, 768, 3072, 2)[0] < 16
+
+
+@pytest.mark.parametrize(
+    "b,l,d,n_head,dtype,masked",
+    [
+        (1, 1, 64, 1, jnp.float32, False),
+        (2, 2, 64, 2, jnp.float32, True),
+        (5, 9, 64, 2, jnp.float32, False),
+        (3, 33, 128, 4, jnp.bfloat16, True),
+        (7, 18, 128, 2, jnp.bfloat16, False),
+        (4, 77, 64, 2, jnp.float32, True),
+    ],
+)
+def test_fused_block_random_shapes(b, l, d, n_head, dtype, masked):
+    """Property sweep: odd batch/sequence/width combos agree with the XLA
+    block in interpret mode (tile selection must handle any divisor
+    pattern, mask slicing any L)."""
+    key = jax.random.PRNGKey(b * 1000 + l)
+    p = {
+        k: (jax.random.normal(jax.random.fold_in(key, i), s) * 0.05).astype(
+            dtype
+        )
+        if "scale" not in k and "bias" not in k
+        else (jnp.ones(s, dtype) if "scale" in k else jnp.zeros(s, dtype))
+        for i, (k, s) in enumerate(
+            [
+                ("w_qkv", (d, 3 * d)), ("b_qkv", (3 * d,)),
+                ("w_out", (d, d)), ("b_out", (d,)),
+                ("ln_1_scale", (d,)), ("ln_1_bias", (d,)),
+                ("c_fc_w", (d, 4 * d)), ("c_fc_b", (4 * d,)),
+                ("c_proj_w", (4 * d, d)), ("c_proj_b", (d,)),
+                ("ln_2_scale", (d,)), ("ln_2_bias", (d,)),
+            ]
+        )
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 99), (b, l, d), dtype)
+    mask = causal_mask(l) if masked else None
+    ref = residual_attention_block(x, p, n_head, mask)
+    got = fused_residual_block(x, p, n_head, mask, interpret=True)
+    tol = 2e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=tol, rtol=tol,
+    )
