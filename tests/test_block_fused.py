@@ -314,3 +314,52 @@ def test_fused_block_random_shapes(b, l, d, n_head, dtype, masked):
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         atol=tol, rtol=tol,
     )
+
+
+@pytest.mark.parametrize(
+    "b,l,d,n_head,masked",
+    [
+        (1, 1, 64, 1, False),
+        (3, 9, 64, 2, True),
+        (5, 33, 128, 4, False),
+        (2, 77, 64, 2, True),
+    ],
+)
+def test_fused_block_bwd_random_shapes(b, l, d, n_head, masked):
+    """dx property sweep: the Pallas backward kernels agree with XLA
+    autodiff at odd shapes (interpret mode)."""
+    key = jax.random.PRNGKey(b * 77 + l)
+    p = {
+        k: (jax.random.normal(jax.random.fold_in(key, i), s) * 0.05).astype(
+            jnp.float32
+        )
+        if "scale" not in k and "bias" not in k
+        else (jnp.ones(s) if "scale" in k else jnp.zeros(s))
+        for i, (k, s) in enumerate(
+            [
+                ("w_qkv", (d, 3 * d)), ("b_qkv", (3 * d,)),
+                ("w_out", (d, d)), ("b_out", (d,)),
+                ("ln_1_scale", (d,)), ("ln_1_bias", (d,)),
+                ("c_fc_w", (d, 4 * d)), ("c_fc_b", (4 * d,)),
+                ("c_proj_w", (4 * d, d)), ("c_proj_b", (d,)),
+                ("ln_2_scale", (d,)), ("ln_2_bias", (d,)),
+            ]
+        )
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 99), (b, l, d), jnp.float32)
+    mask = causal_mask(l) if masked else None
+
+    def loss_fused(x_):
+        return jnp.sum(
+            fused_residual_block(x_, p, n_head, mask=mask, interpret=True)
+            ** 2
+        )
+
+    def loss_ref(x_):
+        return jnp.sum(residual_attention_block(x_, p, n_head, mask) ** 2)
+
+    gx_f = jax.grad(loss_fused)(x)
+    gx_r = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_r), atol=1e-4, rtol=1e-4
+    )
