@@ -104,12 +104,33 @@ class OVMRGenerator:
         return cls(clip_params, clip_cfg, agg_params, dtype=dtype)
 
     # ------------------------------------------------------------------
-    def encode_images(self, images) -> np.ndarray:
-        """images [B, 3, H, W] float (CLIP-normalized) -> unit features."""
-        return np.asarray(
-            self._encode(self.clip_params, jnp.asarray(images, self.dtype)),
-            np.float32,
-        )
+    def encode_images(self, images, batch_size: int = 1024) -> np.ndarray:
+        """images [B, 3, H, W] float (CLIP-normalized) -> unit features.
+        Encodes in `batch_size` slices so exemplar sets at ImageNet-21k
+        scale (349k images at 16 shots) never materialize one giant
+        device array; the tail pads up to the slice so at most two
+        programs compile."""
+        images = np.asarray(images)
+        if images.shape[0] <= batch_size:
+            return np.asarray(
+                self._encode(
+                    self.clip_params, jnp.asarray(images, self.dtype)
+                ),
+                np.float32,
+            )
+        parts = []
+        for s in range(0, images.shape[0], batch_size):
+            chunk = images[s : s + batch_size]
+            pad = batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            feats = self._encode(
+                self.clip_params, jnp.asarray(chunk, self.dtype)
+            )
+            parts.append(np.asarray(feats, np.float32))
+        return np.concatenate(parts)[: images.shape[0]]
 
     def generate(
         self,
@@ -124,6 +145,34 @@ class OVMRGenerator:
             exemplar_images.reshape(n * k, *exemplar_images.shape[2:])
         ).reshape(n, k, -1)
         return self.generate_from_features(classnames, feats, eval_tau=eval_tau)
+
+    def _chunk_programs(self):
+        """Jitted per-chunk text/heads programs, built once and reused
+        across generate_from_features calls (cold compiles are expensive
+        on this platform; same recipe as the trainer's cached
+        _jit_text_classifier/_jit_heads)."""
+        if not hasattr(self, "_chunk_programs_cache"):
+
+            def jit_text(cp, pt):
+                return ovmr.text_classifier(
+                    cp, self.clip_cfg, pt, attn_fn=self.attn_fn,
+                    block_fn=self.block_fn,
+                )
+
+            def jit_heads(cp, ap, feats, pt, et, vt):
+                m = feats.shape[0]
+                pe = jclip.embed_tokens(cp, pt).astype(feats.dtype)
+                ve = jnp.broadcast_to(
+                    jclip.embed_tokens(cp, vt[None]).astype(feats.dtype),
+                    (m, vt.shape[0], feats.shape[-1]),
+                )
+                return ovmr.classifier_heads(
+                    cp, self.clip_cfg, ap, feats, pe, ve, et,
+                    attn_fn=self.attn_fn, block_fn=self.block_fn,
+                )
+
+            self._chunk_programs_cache = (jax.jit(jit_text), jax.jit(jit_heads))
+        return self._chunk_programs_cache
 
     def generate_from_features(
         self,
@@ -169,26 +218,7 @@ class OVMRGenerator:
         feats_p = np.zeros((pad_n,) + exemplar_feats.shape[1:], np.float32)
         feats_p[:n] = exemplar_feats
 
-        def jit_text(cp, pt):
-            return ovmr.text_classifier(
-                cp, self.clip_cfg, pt, attn_fn=self.attn_fn,
-                block_fn=self.block_fn,
-            )
-
-        def jit_heads(cp, ap, feats, pt, et, vt):
-            m = feats.shape[0]
-            pe = jclip.embed_tokens(cp, pt).astype(feats.dtype)
-            ve = jnp.broadcast_to(
-                jclip.embed_tokens(cp, vt[None]).astype(feats.dtype),
-                (m, vt.shape[0], feats.shape[-1]),
-            )
-            return ovmr.classifier_heads(
-                cp, self.clip_cfg, ap, feats, pe, ve, et,
-                attn_fn=self.attn_fn, block_fn=self.block_fn,
-            )
-
-        jit_text = jax.jit(jit_text)
-        jit_heads = jax.jit(jit_heads)
+        jit_text, jit_heads = self._chunk_programs()
         vtok_dev = jnp.asarray(vtok)
         mm_parts, v_parts, vt_parts, t_parts = [], [], [], []
         for s in range(0, pad_n, chunk_size):
@@ -213,9 +243,13 @@ class OVMRGenerator:
         logit_scale = np.exp(
             np.asarray(self.clip_params["logit_scale"], np.float32)
         )
+        # round exemplars through self.dtype first so fusion sees the SAME
+        # values as the single-program path (which casts feats to the
+        # compute dtype before the F1 cross-validation) — fusion_weight
+        # must not depend on which side of chunk_size N falls
         fusion_weight = np.asarray(
             ovmr.fusion_from_classifiers(
-                jnp.asarray(exemplar_feats, jnp.float32),
+                jnp.asarray(exemplar_feats, self.dtype).astype(jnp.float32),
                 jnp.asarray(mm_cls),
                 jnp.asarray(v_cls),
                 jnp.asarray(t_cls),

@@ -58,6 +58,22 @@ class CLIPModel:
             lambda p, t: jclip.encode_text(p, cfg, t, block_fn=block_fn)
         )
 
+        # one program for the contrastive forward (each extra dispatch costs
+        # ~30 ms through this platform's relay): fused-path clip_forward
+        # with fp32 logits
+        def forward(p, x, t):
+            img = l2_normalize(
+                jclip.encode_image(p, cfg, x, block_fn=block_fn)
+            ).astype(jnp.float32)
+            txt = l2_normalize(
+                jclip.encode_text(p, cfg, t, block_fn=block_fn)
+            ).astype(jnp.float32)
+            scale = jnp.exp(p["logit_scale"]).astype(jnp.float32)
+            lpi = scale * img @ txt.T
+            return lpi, lpi.T
+
+        self._forward = jax.jit(forward)
+
     @property
     def logit_scale(self):
         return self.params["logit_scale"]
@@ -75,12 +91,10 @@ class CLIPModel:
     def __call__(self, images, tokens) -> Tuple[jax.Array, jax.Array]:
         """(logits_per_image [B, N], logits_per_text [N, B]) — the
         reference ``CLIP.forward`` contract (L2-normalize both sides,
-        scale by exp(logit_scale))."""
-        img = l2_normalize(self.encode_image(images)).astype(jnp.float32)
-        txt = l2_normalize(self.encode_text(tokens)).astype(jnp.float32)
-        scale = jnp.exp(self.params["logit_scale"]).astype(jnp.float32)
-        logits_per_image = scale * img @ txt.T
-        return logits_per_image, logits_per_image.T
+        scale by exp(logit_scale)), one compiled program."""
+        return self._forward(
+            self.params, jnp.asarray(images, self.dtype), jnp.asarray(tokens)
+        )
 
 
 def _preprocess(resolution: int):
@@ -94,17 +108,12 @@ def _preprocess(resolution: int):
         CLIP_STD,
         center_crop,
         normalize,
+        resize_smaller_edge,
         to_chw_float,
     )
 
     def fn(img: "Image.Image") -> np.ndarray:
-        w, h = img.size
-        scale = resolution / min(w, h)
-        img = img.convert("RGB").resize(
-            (max(resolution, int(round(w * scale))),
-             max(resolution, int(round(h * scale)))),
-            BICUBIC,
-        )
+        img = resize_smaller_edge(img.convert("RGB"), resolution, BICUBIC)
         img = center_crop(img, (resolution, resolution))
         return normalize(to_chw_float(img), CLIP_MEAN, CLIP_STD)
 
@@ -122,7 +131,8 @@ def load(
     have no JAX equivalent and are intentionally absent)."""
     import os.path as osp
 
-    path = name if osp.isfile(name) else resolve(name, download_root)
+    fname = osp.expanduser(name)
+    path = fname if osp.isfile(fname) else resolve(name, download_root)
     if path is not None:
         from ovmr_tpu.models.import_torch import load_clip
 

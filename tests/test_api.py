@@ -57,3 +57,46 @@ def test_chunked_generate_matches_single_program(gen):
         np.testing.assert_allclose(
             chunked[key], single[key], atol=2e-5, rtol=2e-5, err_msg=key
         )
+
+
+def test_chunked_generate_matches_single_program_bf16():
+    """Same boundary-independence in the bf16 compute dtype the TPU
+    trainers ship: fusion must see dtype-rounded exemplars on both
+    paths."""
+    cfg = jclip.TINY
+    key = jax.random.PRNGKey(7)
+    g = OVMRGenerator(
+        jclip.init_params(key, cfg),
+        cfg,
+        init_aggregator(key, width=cfg.embed_dim, layers=2, n_ctx=2),
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.RandomState(2)
+    classnames = [f"item {i}" for i in range(6)]
+    feats = rng.rand(6, 4, cfg.embed_dim).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    single = g.generate_from_features(classnames, feats)
+    chunked = g.generate_from_features(classnames, feats, chunk_size=4)
+    np.testing.assert_array_equal(
+        chunked["fusion_weight"], single["fusion_weight"]
+    )
+    for key2 in ("mm_classifier", "vision_classifier", "text_classifier"):
+        np.testing.assert_allclose(
+            chunked[key2], single[key2], atol=2e-2, rtol=2e-2, err_msg=key2
+        )
+
+
+def test_encode_images_batched_matches_single():
+    cfg = jclip.TINY
+    key = jax.random.PRNGKey(3)
+    g = OVMRGenerator(
+        jclip.init_params(key, cfg),
+        cfg,
+        init_aggregator(key, width=cfg.embed_dim, layers=2, n_ctx=2),
+        dtype=jnp.float32,
+    )
+    imgs = np.random.RandomState(4).rand(7, 3, 32, 32).astype(np.float32)
+    whole = g.encode_images(imgs)
+    sliced = g.encode_images(imgs, batch_size=3)
+    np.testing.assert_allclose(sliced, whole, atol=1e-5, rtol=1e-5)
