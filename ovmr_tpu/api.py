@@ -180,15 +180,36 @@ class OVMRGenerator:
         exemplar_feats: np.ndarray,
         eval_tau: float = 10.0,
         chunk_size: int = 2048,
+        max_text_classes: Optional[int] = None,
     ) -> Dict[str, np.ndarray]:
         """Class counts above ``chunk_size`` run the class axis in chunks
-        (one compiled program reused per chunk, the trainer's
-        ImageNet-21k-scale recipe — bounds text-tower activations); the
-        preference fusion then runs once over the full set. 2048 is the
-        measured-fastest chunk on chip (docs/DESIGN.md)."""
+        (one compiled program reused per chunk, shared with the trainer via
+        :func:`ovmr.generate_classifiers_chunked` — bounds text-tower
+        activations at ImageNet-21k scale); the preference fusion then runs
+        once over the full set, streaming exemplar rows so the F1
+        cross-validation never materializes [n*k, n] logits. 2048 is the
+        measured-fastest chunk on chip (docs/DESIGN.md).
+
+        ``max_text_classes`` mirrors the reference's >=5000-class guard
+        (``mm_…:118-126``): at or above it the frozen text head and the
+        fusion that depends on it are skipped (keys absent from the
+        result). Default is the reference's 5000; pass a larger value to
+        force the full artifact at 21k scale."""
         ptok, eot, vtok = ovmr.build_prompt_tokens(classnames)
         n = len(classnames)
-        if n <= chunk_size:
+        limit = (
+            ovmr.TEXT_CLS_MAX_CLASSES
+            if max_text_classes is None
+            else int(max_text_classes)
+        )
+        include_text = n < limit
+        if not include_text:
+            print(
+                f"Skipping frozen text classifier: {n} classes >= "
+                f"max_text_classes ({limit}, the reference >=5000-class "
+                "guard); text_classifier/fusion_weight omitted."
+            )
+        if n <= chunk_size and include_text:
             t_cls = ovmr.text_classifier(
                 self.clip_params, self.clip_cfg, jnp.asarray(ptok),
                 attn_fn=self.attn_fn, block_fn=self.block_fn,
@@ -208,63 +229,49 @@ class OVMRGenerator:
             )
             return {key: np.asarray(v, np.float32) for key, v in out.items()}
 
-        # pad to a chunk multiple with the visual-template row so every
-        # chunk reuses one compiled program
-        pad_n = -chunk_size * (-n // chunk_size)
-        ptok_p = np.tile(np.asarray(vtok), (pad_n, 1)).astype(np.int32)
-        ptok_p[:n] = np.asarray(ptok)
-        eot_p = np.full(pad_n, int(np.argmax(np.asarray(vtok) == 49407)), np.int32)
-        eot_p[:n] = np.asarray(eot)
-        feats_p = np.zeros((pad_n,) + exemplar_feats.shape[1:], np.float32)
-        feats_p[:n] = exemplar_feats
-
+        # the shared chunked recipe (one compiled program reused per chunk,
+        # padded with the visual-template row — models/ovmr.py)
         jit_text, jit_heads = self._chunk_programs()
         vtok_dev = jnp.asarray(vtok)
-        mm_parts, v_parts, vt_parts, t_parts = [], [], [], []
-        for s in range(0, pad_n, chunk_size):
-            sl = slice(s, s + chunk_size)
-            pt = jnp.asarray(ptok_p[sl])
-            t_parts.append(jit_text(self.clip_params, pt))
-            mm_c, v_c, vt_c = jit_heads(
-                self.clip_params, self.agg_params,
-                jnp.asarray(feats_p[sl], self.dtype), pt,
-                jnp.asarray(eot_p[sl]), vtok_dev,
-            )
-            mm_parts.append(mm_c)
-            v_parts.append(v_c)
-            vt_parts.append(vt_c)
-
-        def cat(parts):
-            return np.concatenate([np.asarray(p, np.float32) for p in parts])[:n]
-
-        mm_cls, v_cls, t_cls, vokens = (
-            cat(mm_parts), cat(v_parts), cat(t_parts), cat(vt_parts)
-        )
-        logit_scale = np.exp(
-            np.asarray(self.clip_params["logit_scale"], np.float32)
-        )
-        # round exemplars through self.dtype first so fusion sees the SAME
-        # values as the single-program path (which casts feats to the
-        # compute dtype before the F1 cross-validation) — fusion_weight
-        # must not depend on which side of chunk_size N falls
-        fusion_weight = np.asarray(
-            ovmr.fusion_from_classifiers(
-                jnp.asarray(exemplar_feats, self.dtype).astype(jnp.float32),
-                jnp.asarray(mm_cls),
-                jnp.asarray(v_cls),
-                jnp.asarray(t_cls),
-                logit_scale,
-                float(eval_tau),
+        out = ovmr.generate_classifiers_chunked(
+            np.asarray(exemplar_feats, np.float32),
+            ptok,
+            eot,
+            vtok,
+            chunk_size,
+            jit_heads=lambda f, pt, et: jit_heads(
+                self.clip_params, self.agg_params, f, pt, et, vtok_dev
             ),
-            np.float32,
+            jit_text=(
+                (lambda pt: jit_text(self.clip_params, pt))
+                if include_text
+                else None
+            ),
+            feats_dtype=self.dtype,
         )
-        return {
-            "mm_classifier": mm_cls,
-            "vision_classifier": v_cls,
-            "text_classifier": t_cls,
-            "fusion_weight": fusion_weight,
-            "visual_tokens": vokens,
-        }
+        if include_text:
+            logit_scale = np.exp(
+                np.asarray(self.clip_params["logit_scale"], np.float32)
+            )
+            # round exemplars through self.dtype first so fusion sees the
+            # SAME values as the single-program path (which casts feats to
+            # the compute dtype before the F1 cross-validation) —
+            # fusion_weight must not depend on which side of chunk_size N
+            # falls
+            out["fusion_weight"] = np.asarray(
+                ovmr.fusion_from_classifiers(
+                    jnp.asarray(exemplar_feats, self.dtype).astype(
+                        jnp.float32
+                    ),
+                    jnp.asarray(out["mm_classifier"]),
+                    jnp.asarray(out["vision_classifier"]),
+                    jnp.asarray(out["text_classifier"]),
+                    logit_scale,
+                    float(eval_tau),
+                ),
+                np.float32,
+            )
+        return out
 
     def classify(
         self, images, classifiers: Dict[str, np.ndarray], mode: str = "fusion"

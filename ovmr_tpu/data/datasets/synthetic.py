@@ -68,7 +68,17 @@ class Synthetic(DatasetBase):
         # only): OVMR_SYNTHETIC=classes,per_class,size
         spec = os.environ.get("OVMR_SYNTHETIC")
         if spec:
-            num_classes, per_class, size = (int(v) for v in spec.split(","))
+            parts = spec.split(",")
+            try:
+                if len(parts) != 3:
+                    raise ValueError
+                num_classes, per_class, size = (int(v) for v in parts)
+            except ValueError:
+                raise ValueError(
+                    f"OVMR_SYNTHETIC={spec!r} is malformed; expected "
+                    "'classes,per_class,size' (three comma-separated ints, "
+                    "e.g. '64,24,224')"
+                ) from None
 
         root = osp.abspath(osp.expanduser(cfg.DATASET.ROOT or "/tmp/ovmr_data"))
         base = osp.join(root, type(self).dataset_dir, f"c{num_classes}_n{per_class}_s{size}")

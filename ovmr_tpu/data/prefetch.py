@@ -33,6 +33,17 @@ def prefetch_batches(iterable: Iterable, depth: int = 2) -> Iterator:
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def put_final(obj):
+        # the terminal item (sentinel or exception) must reach the consumer
+        # even if the queue stays full for minutes (cold compiles): retry
+        # until delivered or the consumer abandoned us (stop set)
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
     def producer():
         try:
             for item in iterable:
@@ -44,12 +55,9 @@ def prefetch_batches(iterable: Iterable, depth: int = 2) -> Iterator:
                         continue
                 if stop.is_set():
                     return
-            q.put(_SENTINEL)
+            put_final(_SENTINEL)
         except BaseException as e:  # propagate into the consumer
-            try:
-                q.put(e, timeout=5)
-            except queue.Full:
-                pass
+            put_final(e)
 
     t = threading.Thread(target=producer, daemon=True, name="batch-prefetch")
     t.start()

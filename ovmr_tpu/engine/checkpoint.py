@@ -218,27 +218,23 @@ def resume_from_checkpoint(
 
 def export_classifiers_torch(classifiers: dict, output_dir: str) -> None:
     """Write ``mm_classifiers.pt`` + ``visual_tokens.pt`` with the exact key
-    names and fp32 dtype the reference saves (``mm_…:276-291``)."""
+    names and fp32 dtype the reference saves (``mm_…:276-291``).
+
+    ``text_classifier``/``fusion_weight`` entries that are absent or None
+    (the >=5000-class guard skipped the frozen text head, ``mm_…:118``) are
+    omitted from the artifact — the reference cannot produce one at all at
+    that scale (``forward_prompt`` dereferences the None classifier)."""
     import torch
 
     mkdir_if_missing(output_dir)
-    torch.save(
-        {
-            "text_classifier": torch.tensor(
-                np.asarray(classifiers["text_classifier"], np.float32)
-            ),
-            "vision_classifier": torch.tensor(
-                np.asarray(classifiers["vision_classifier"], np.float32)
-            ),
-            "mm_classifier": torch.tensor(
-                np.asarray(classifiers["mm_classifier"], np.float32)
-            ),
-            "fusion_weight": torch.tensor(
-                np.asarray(classifiers["fusion_weight"], np.float32)
-            ),
-        },
-        osp.join(output_dir, "mm_classifiers.pt"),
-    )
+    artifact = {}
+    for key in (
+        "text_classifier", "vision_classifier", "mm_classifier", "fusion_weight"
+    ):
+        value = classifiers.get(key)
+        if value is not None:
+            artifact[key] = torch.tensor(np.asarray(value, np.float32))
+    torch.save(artifact, osp.join(output_dir, "mm_classifiers.pt"))
     torch.save(
         {
             "visual_tokens": torch.tensor(

@@ -95,6 +95,18 @@ def make_feature_extractor(
     mean, std = tuple(mean), tuple(std)
     post = l2_normalize if unit_norm else (lambda x: x)
 
+    # model-parallel meshes take the plain-jit GSPMD route: tower params are
+    # TP-placed (tower_param_shardings) and XLA partitions the matmuls over
+    # 'model'; the Pallas fused blocks have no SPMD rule, so they are gated
+    # off loudly rather than silently gathering the batch around them
+    tp = mesh is not None and dict(mesh.shape).get("model", 1) > 1
+    if tp and block_fn is not None:
+        print(
+            "Model-parallel mesh: eval encode routes towers to the XLA "
+            "block path (Pallas kernels have no SPMD partitioning rule)"
+        )
+        block_fn = None
+
     # with a mesh, every batch pads up to a multiple of the device count so
     # the single compiled program always shards over 'data' — never a silent
     # replicated fallback
@@ -123,7 +135,7 @@ def make_feature_extractor(
             )
         )
 
-    if mesh is not None:
+    if mesh is not None and not tp:
         # shard_map over 'data': each device encodes its local shard. This
         # (not plain jit) is what keeps the Pallas kernels per-chip —
         # pallas_call has no SPMD partitioning rule, so under plain jit
@@ -144,6 +156,8 @@ def make_feature_extractor(
 
         f32, u8 = smap(enc_f32), smap(enc_u8)
     else:
+        # single device, or model>1: plain jit — with a TP mesh the batch is
+        # 'data'-placed and params 'model'-placed, and GSPMD partitions both
         f32, u8 = jax.jit(enc_f32), jax.jit(enc_u8)
 
     def place(x):
@@ -478,20 +492,42 @@ class MM_CLS_OP(TrainerBase):
         if jax.device_count() > 1 and cfg.TPU.MESH.DATA != 1:
             self.mesh = build_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
             print(f"Data-parallel mesh: {dict(self.mesh.shape)}")
-            # explicit shard_map step: classifiers all_gather over ICI,
-            # grads pmean, fused Pallas kernels per chip (pallas_call has
-            # no GSPMD rule, so plain jit couldn't keep them sharded)
-            from ovmr_tpu.engine.train_step import make_sharded_train_step
+            if dict(self.mesh.shape).get("model", 1) > 1:
+                # tensor parallelism is the GSPMD route: the fused Pallas
+                # kernels have no SPMD partitioning rule, so towers go
+                # through the XLA block path (loudly), tower params are
+                # TP-placed (Megatron-style MLP split), and every program
+                # below runs under plain jit — XLA partitions the tower
+                # matmuls over 'model' and the batch/class axes over 'data'
+                if self.block_fn is not None:
+                    print(
+                        "Model-parallel mesh (model="
+                        f"{dict(self.mesh.shape)['model']}): routing towers "
+                        "to the XLA block path — the fused Pallas kernels "
+                        "have no SPMD partitioning rule (docs/DESIGN.md)"
+                    )
+                    self.block_fn = None
+                from ovmr_tpu.parallel import place_tower_params
 
-            self.train_step_sharded = make_sharded_train_step(
-                self.clip_cfg,
-                self.optimizer,
-                self.mesh,
-                dropout=0.1,
-                attn_fn=self.attn_fn,
-                augment=augment,
-                block_fn=self.block_fn,
-            )
+                self.clip_params = place_tower_params(
+                    self.mesh, self.clip_params
+                )
+            else:
+                # explicit shard_map step: classifiers all_gather over ICI,
+                # grads pmean, fused Pallas kernels per chip (pallas_call
+                # has no GSPMD rule, so plain jit couldn't keep them
+                # sharded)
+                from ovmr_tpu.engine.train_step import make_sharded_train_step
+
+                self.train_step_sharded = make_sharded_train_step(
+                    self.clip_cfg,
+                    self.optimizer,
+                    self.mesh,
+                    dropout=0.1,
+                    attn_fn=self.attn_fn,
+                    augment=augment,
+                    block_fn=self.block_fn,
+                )
         # single-program step: single chip, and the fallback for ragged
         # batches whose class count doesn't divide the mesh (XLA block
         # there — GSPMD would gather around Pallas kernels)
@@ -583,13 +619,16 @@ class MM_CLS_OP(TrainerBase):
         )
         step = self.train_step
         if self.mesh is not None:
-            if num_cls % self.mesh.devices.size == 0:
+            if num_cls % dict(self.mesh.shape)["data"] == 0:
                 from ovmr_tpu.parallel import shard_batch
 
                 images_dev = shard_batch(self.mesh, images_dev)
                 ptok = shard_batch(self.mesh, ptok)
                 eot = shard_batch(self.mesh, eot)
-                step = self.train_step_sharded
+                # model>1 has no shard_map step (Pallas has no SPMD rule);
+                # the plain-jit step runs under GSPMD with TP-placed towers
+                if self.train_step_sharded is not None:
+                    step = self.train_step_sharded
             elif not getattr(self, "_warned_unsharded", False):
                 # tail batches with a ragged class count fall back to the
                 # single-program step — loud, not silent (padding the class
@@ -597,8 +636,9 @@ class MM_CLS_OP(TrainerBase):
                 self._warned_unsharded = True
                 print(
                     f"WARNING: batch with {num_cls} classes not divisible by "
-                    f"{self.mesh.devices.size} devices runs replicated; "
-                    "choose BATCH_SIZE so classes-per-batch divides the mesh"
+                    f"the data axis ({dict(self.mesh.shape)['data']}) runs "
+                    "replicated; choose BATCH_SIZE so classes-per-batch "
+                    "divides the mesh"
                 )
 
         self.agg_params, self.opt_state, loss = step(
@@ -701,58 +741,56 @@ class MM_CLS_OP(TrainerBase):
         if self.mesh is not None:
             # chunks shard their class axis over 'data' (shard_map keeps the
             # fused Pallas kernels per-chip) — the chunk must divide evenly
-            chunk = pad_to_multiple(chunk, self.mesh.devices.size)
-        pad_n = pad_to_multiple(n_cls, chunk)
-        pad_feats = np.zeros((pad_n, shots, dim), np.float32)
-        pad_feats[:n_cls] = feats
-        pad_ptok = np.tile(np.asarray(self.vis_tokens), (pad_n, 1)).astype(np.int32)
-        pad_ptok[:n_cls] = np.asarray(self.prompt_tokens)
-        pad_eot = np.full(pad_n, 3, np.int32)
-        pad_eot[:n_cls] = np.asarray(self.eot_idx)
-
-        mm_parts, v_parts, vt_parts, t_parts = [], [], [], []
-        for start in range(0, pad_n, chunk):
-            sl = slice(start, start + chunk)
-            ptok_c = self._place_classes(jnp.asarray(pad_ptok[sl]))
-            t_parts.append(
-                self._jit_text_classifier(self.serving_params, ptok_c)
+            chunk = pad_to_multiple(chunk, dict(self.mesh.shape)["data"])
+        include_text = n_cls < int(cfg.TPU.TEXT_CLS_MAX_CLASSES)
+        if not include_text:
+            # the reference skips the frozen text classifier at >=5000
+            # classes (``mm_…:118-126``; training never needs it) — and
+            # cannot eval/export at all at that scale. We skip text AND the
+            # fusion that depends on it; raise TPU.TEXT_CLS_MAX_CLASSES to
+            # force the full artifact (the 21k capability run does).
+            print(
+                f"Skipping frozen text classifier: {n_cls} classes >= "
+                f"TPU.TEXT_CLS_MAX_CLASSES ({cfg.TPU.TEXT_CLS_MAX_CLASSES}, "
+                "the reference >=5000-class guard). text/fusion eval modes "
+                "are unavailable; mm_classifiers.pt will omit "
+                "text_classifier and fusion_weight."
             )
-            mm_c, v_c, vt_c = self._jit_heads(
-                self.serving_params,
-                self.agg_params,
-                self._place_classes(jnp.asarray(pad_feats[sl], self.dtype)),
-                ptok_c,
-                self._place_classes(jnp.asarray(pad_eot[sl])),
-            )
-            mm_parts.append(mm_c)
-            v_parts.append(v_c)
-            vt_parts.append(vt_c)
 
-        mm_cls = np.concatenate([np.asarray(p, np.float32) for p in mm_parts])[:n_cls]
-        v_cls = np.concatenate([np.asarray(p, np.float32) for p in v_parts])[:n_cls]
-        t_cls = np.concatenate([np.asarray(p, np.float32) for p in t_parts])[:n_cls]
-        vokens = np.concatenate([np.asarray(p, np.float32) for p in vt_parts])[:n_cls]
-
-        logit_scale = np.exp(np.asarray(self.clip_params["logit_scale"], np.float32))
-        fusion_weight = np.asarray(
-            ovmr.fusion_from_classifiers(
-                jnp.asarray(feats),
-                jnp.asarray(mm_cls),
-                jnp.asarray(v_cls),
-                jnp.asarray(t_cls),
-                logit_scale,
-                float(cfg.EVAL_TAU),
+        out = ovmr.generate_classifiers_chunked(
+            feats,
+            np.asarray(self.prompt_tokens),
+            np.asarray(self.eot_idx),
+            np.asarray(self.vis_tokens),
+            chunk,
+            jit_heads=lambda f, pt, et: self._jit_heads(
+                self.serving_params, self.agg_params, f, pt, et
             ),
-            np.float32,
+            jit_text=(
+                (lambda pt: self._jit_text_classifier(self.serving_params, pt))
+                if include_text
+                else None
+            ),
+            place=self._place_classes,
+            feats_dtype=self.dtype,
         )
 
-        out = {
-            "mm_classifier": mm_cls,
-            "vision_classifier": v_cls,
-            "text_classifier": t_cls,
-            "fusion_weight": fusion_weight,
-            "visual_tokens": vokens,
-        }
+        if include_text:
+            logit_scale = np.exp(
+                np.asarray(self.clip_params["logit_scale"], np.float32)
+            )
+            out["fusion_weight"] = np.asarray(
+                ovmr.fusion_from_classifiers(
+                    jnp.asarray(feats),
+                    jnp.asarray(out["mm_classifier"]),
+                    jnp.asarray(out["vision_classifier"]),
+                    jnp.asarray(out["text_classifier"]),
+                    logit_scale,
+                    float(cfg.EVAL_TAU),
+                ),
+                np.float32,
+            )
+
         self.classifiers = out
         ckpt.export_classifiers_torch(out, self.output_dir)
         return out
@@ -763,6 +801,12 @@ class MM_CLS_OP(TrainerBase):
         chunks; shard_map — not plain jit — keeps the Pallas kernels
         per-chip, same rationale as make_feature_extractor)."""
         if self.mesh is None:
+            return jax.jit(fn)
+        if dict(self.mesh.shape).get("model", 1) > 1:
+            # TP route: towers are GSPMD-partitioned over 'model' (params
+            # TP-placed in build_model, block_fn gated to the XLA path);
+            # plain jit lets XLA shard the class chunks over 'data' from
+            # the operand placement (_place_classes)
             return jax.jit(fn)
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
@@ -834,6 +878,17 @@ class MM_CLS_OP(TrainerBase):
             )
         if self.classifiers is None:
             self.generate_classifiers()
+        if (
+            cfg.EVAL_MODE in ("text", "fusion")
+            and "text_classifier" not in self.classifiers
+        ):
+            raise ValueError(
+                f"EVAL_MODE {cfg.EVAL_MODE!r} needs the frozen text "
+                f"classifier, which was skipped at {self.n_cls} classes "
+                "(the reference >=5000-class guard; the reference itself "
+                "cannot eval at this scale at all). Use vision/multimodal, "
+                "or raise TPU.TEXT_CLS_MAX_CLASSES to force the text head."
+            )
         print(f"(eval mode: {cfg.EVAL_MODE})")
 
     def model_inference(self, batch, scale_no=0):

@@ -24,8 +24,7 @@ padded by the caller, per-dataset variation lives in data, not in traces.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,19 +32,21 @@ import numpy as np
 
 from ovmr_tpu.models import clip as jclip
 from ovmr_tpu.models.aggregator import generate_vokens
-from ovmr_tpu.ops.fusion import fusion_weights_from_f1, multiclass_f1
+from ovmr_tpu.ops.fusion import (
+    fusion_weights_from_f1,
+    multiclass_f1,
+    streaming_fusion_weights,
+)
 from ovmr_tpu.ops.layers import attention_xla, l2_normalize
 
-
-@dataclasses.dataclass(frozen=True)
-class OVMRConfig:
-    n_ctx: int = 2
-    context_length: int = 77
-    eval_tau: float = 10.0
-    dropout: float = 0.1
-    # skip the zero-shot text classifier beyond this many classes
-    # (reference guard at 5000, ``mm_…:118``)
-    max_text_classifier_classes: int = 5000
+# The reference skips building the frozen zero-shot text classifier at
+# >= 5000 classes (``mm_…:118-126``) — a build-time optimization for the
+# ImageNet-21k pretrain, where the text head is never needed for training.
+# (At that scale the reference cannot eval at all: ``forward_prompt``
+# dereferences the None classifier, ``mm_…:265``.) Consumed via
+# ``cfg.TPU.TEXT_CLS_MAX_CLASSES`` in the trainer and ``max_text_classes``
+# in the API; override upward to force the text head + fusion at 21k scale.
+TEXT_CLS_MAX_CLASSES = 5000
 
 
 # --------------------------------------------------------------------------
@@ -206,19 +207,15 @@ def generate_classifiers_from_feats(
 
     # cross-validate the three classifiers on the exemplars themselves
     logit_scale = jnp.exp(clip_params["logit_scale"]).astype(jnp.float32)
-    flat = exemplar_feats.reshape(n * k, d).astype(jnp.float32)
-    labels = jnp.repeat(jnp.arange(n), k)
-
-    def cls_logits(cls_matrix):
-        logits = logit_scale * flat @ cls_matrix.astype(jnp.float32).T
-        if class_mask is not None:
-            logits = jnp.where(class_mask[None, :], logits, -jnp.inf)
-        return logits
-
-    f1_mm = multiclass_f1(cls_logits(mm_cls), labels, n)
-    f1_v = multiclass_f1(cls_logits(v_cls), labels, n)
-    f1_t = multiclass_f1(cls_logits(zero_shot_classifier), labels, n)
-    fusion_weight = fusion_weights_from_f1(f1_mm, f1_v, f1_t, eval_tau)
+    fusion_weight = fusion_from_classifiers(
+        exemplar_feats,
+        mm_cls,
+        v_cls,
+        zero_shot_classifier,
+        logit_scale,
+        eval_tau,
+        class_mask=class_mask,
+    )
 
     if class_mask is not None:
         mm_cls = jnp.where(class_mask[:, None], mm_cls, 0.0)
@@ -241,16 +238,37 @@ def fusion_from_classifiers(
     logit_scale: jax.Array,
     eval_tau: float,
     class_mask: Optional[jax.Array] = None,
+    row_chunk: int = 8192,
 ) -> jax.Array:
     """Preference-fusion weights from precomputed classifiers: per-class F1
     of each classifier on the exemplars -> softmax(tau * F1) [N, 3].
     Factored out of :func:`generate_classifiers_from_feats` so classifier
     heads can be computed in class chunks at 21k scale while fusion runs
-    once over the full set."""
+    once over the full set.
+
+    When the exemplar-row count n*k exceeds ``row_chunk``, the logits are
+    streamed over row chunks inside one compiled scan (working set
+    [row_chunk, N] fp32 instead of [n*k, N] — 122 GB at 21,843 classes x
+    64 shots). Per-row logits/argmax are independent of chunking, so both
+    paths produce identical F1 counts; equality is pinned by
+    ``tests/test_streaming_fusion.py``."""
     n, k, d = exemplar_feats.shape
-    flat = exemplar_feats.reshape(n * k, d).astype(jnp.float32)
+    m = n * k
     labels = jnp.repeat(jnp.arange(n), k)
     scale = jnp.asarray(logit_scale, jnp.float32)
+
+    if m > row_chunk:
+        return streaming_fusion_weights(
+            exemplar_feats.reshape(m, d),
+            labels,
+            (mm_cls, v_cls, t_cls),
+            scale,
+            eval_tau,
+            class_mask=class_mask,
+            row_chunk=row_chunk,
+        )
+
+    flat = exemplar_feats.reshape(m, d).astype(jnp.float32)
 
     def cls_logits(cls_matrix):
         logits = scale * flat @ cls_matrix.astype(jnp.float32).T
@@ -262,6 +280,83 @@ def fusion_from_classifiers(
     f1_v = multiclass_f1(cls_logits(v_cls), labels, n)
     f1_t = multiclass_f1(cls_logits(t_cls), labels, n)
     return fusion_weights_from_f1(f1_mm, f1_v, f1_t, eval_tau)
+
+
+def generate_classifiers_chunked(
+    exemplar_feats: np.ndarray,
+    prompt_tokens: np.ndarray,
+    eot_idx: np.ndarray,
+    vis_tokens: np.ndarray,
+    chunk: int,
+    jit_heads: Callable,
+    jit_text: Optional[Callable] = None,
+    place: Callable = lambda x: x,
+    feats_dtype=jnp.float32,
+) -> dict:
+    """THE chunked classifier-generation recipe, shared by the trainer
+    (mesh-sharded via ``place``) and the API (single device).
+
+    Pads the class axis to a multiple of ``chunk`` with the visual-template
+    row (so every chunk reuses one compiled program), runs the per-chunk
+    text/heads callables, and concatenates back to ``n_cls`` rows on host.
+    This bounds text-tower activations at ImageNet-21k scale; preference
+    fusion is the caller's job (it needs the full class set — see
+    :func:`fusion_from_classifiers`).
+
+    Args:
+      exemplar_feats: [N, K, D] fp32 host array of L2-normalized features.
+      prompt_tokens/eot_idx/vis_tokens: from :func:`build_prompt_tokens`.
+      chunk: classes per compiled program (caller picks: cfg knob, mesh
+        divisibility).
+      jit_heads: (feats [c,K,D], ptok [c,77], eot [c]) -> (mm, v, vokens);
+        jitted, params closed over.
+      jit_text: (ptok [c,77]) -> [c, D], or None to skip the frozen text
+        head (the reference's >=5000-class guard, ``mm_…:118-126``).
+      place: device/shard placement hook applied to every chunk array.
+      feats_dtype: device dtype for the feature chunks (the compute dtype).
+
+    Returns dict of np.float32 arrays: ``mm_classifier``/``vision_classifier``
+    [N, D], ``visual_tokens`` [N, n_ctx, D], and ``text_classifier`` [N, D]
+    only when ``jit_text`` was given.
+    """
+    from ovmr_tpu.text import eot_indices
+
+    n_cls = exemplar_feats.shape[0]
+    vis = np.asarray(vis_tokens)
+    pad_n = -chunk * (-n_cls // chunk)
+    ptok_p = np.tile(vis, (pad_n, 1)).astype(np.int32)
+    ptok_p[:n_cls] = np.asarray(prompt_tokens)
+    eot_p = np.full(pad_n, int(eot_indices(vis[None])[0]), np.int32)
+    eot_p[:n_cls] = np.asarray(eot_idx)
+    feats_p = np.zeros((pad_n,) + exemplar_feats.shape[1:], np.float32)
+    feats_p[:n_cls] = exemplar_feats
+
+    mm_parts, v_parts, vt_parts, t_parts = [], [], [], []
+    for start in range(0, pad_n, chunk):
+        sl = slice(start, start + chunk)
+        ptok_c = place(jnp.asarray(ptok_p[sl]))
+        if jit_text is not None:
+            t_parts.append(jit_text(ptok_c))
+        mm_c, v_c, vt_c = jit_heads(
+            place(jnp.asarray(feats_p[sl], feats_dtype)),
+            ptok_c,
+            place(jnp.asarray(eot_p[sl])),
+        )
+        mm_parts.append(mm_c)
+        v_parts.append(v_c)
+        vt_parts.append(vt_c)
+
+    def cat(parts):
+        return np.concatenate([np.asarray(p, np.float32) for p in parts])[:n_cls]
+
+    out = {
+        "mm_classifier": cat(mm_parts),
+        "vision_classifier": cat(v_parts),
+        "visual_tokens": cat(vt_parts),
+    }
+    if jit_text is not None:
+        out["text_classifier"] = cat(t_parts)
+    return out
 
 
 def eval_logits_np(

@@ -208,6 +208,14 @@ def get_cfg_default() -> CfgNode:
     # path-flattened arrays + pointer file, torch-interop) or "orbax"
     # (async-safe per-array chunking for very large/sharded states)
     c.TPU.CHECKPOINT_BACKEND = "npz"
+    # skip the frozen zero-shot text classifier at or above this many
+    # classes (the reference's hard-coded >=5000 guard, ``mm_…:118-126``;
+    # at that scale the reference cannot eval/export at all). Classifier
+    # generation then omits text_classifier/fusion_weight from the artifact
+    # and the text/fusion eval modes refuse with a clear error. Raise this
+    # to force the full artifact at ImageNet-21k scale (streaming fusion
+    # makes that feasible here — docs/DESIGN.md).
+    c.TPU.TEXT_CLS_MAX_CLASSES = 5000
 
     return c
 

@@ -45,6 +45,22 @@ def test_early_abandon_stops_producer():
     assert threading.active_count() < 20
 
 
+def test_exception_survives_long_consumer_stall():
+    """A producer error must reach a consumer stalled past any delivery
+    timeout (cold compiles stall the consumer for minutes); the terminal
+    put retries until delivered instead of silently dropping."""
+
+    def gen():
+        yield 0
+        raise ValueError("late decode failure")
+
+    it = prefetch_batches(gen(), depth=1)
+    time.sleep(5.6)  # stall past the old 5s one-shot delivery window
+    assert next(it) == 0
+    with pytest.raises(ValueError, match="late decode failure"):
+        next(it)
+
+
 def test_overlap_actually_happens():
     """Producer decodes item N+1 while the consumer processes item N."""
     timeline = []

@@ -1,0 +1,122 @@
+"""Tensor parallelism through the TRAINER surface (not just the dryrun).
+
+With TPU.MESH.MODEL > 1 the trainer routes towers to the XLA block path
+(the fused Pallas kernels have no SPMD partitioning rule), TP-places the
+frozen tower params (Megatron-style MLP split), and runs generation and
+the train step under plain jit + GSPMD. These tests pin that route on the
+virtual 8-device CPU mesh: same numbers as the single-device program, and
+the gating is loud, not silent. docs/DESIGN.md "Tensor parallelism".
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ovmr_tpu.utils.defaults import get_cfg_default
+
+
+def make_trainer(tmp, data, model, tag):
+    from ovmr_tpu.engine.trainer import build_trainer
+
+    c = get_cfg_default()
+    c.OUTPUT_DIR = str(tmp / f"out_{tag}")
+    c.SEED = 1
+    c.DATASET.ROOT = str(tmp / "data")
+    c.DATASET.NAME = "Synthetic"
+    c.DATASET.NUM_SHOTS = 4
+    c.INPUT.SIZE = (32, 32)
+    c.INPUT.TRANSFORMS = ["normalize"]
+    c.DATALOADER.TRAIN_X.SAMPLER = "RandomClassSampler"
+    c.DATALOADER.TRAIN_X.BATCH_SIZE = 16
+    c.DATALOADER.TRAIN_X.N_INS = 4
+    c.DATALOADER.TEST.BATCH_SIZE = 16
+    c.DATALOADER.NUM_WORKERS = 2
+    c.MODEL.BACKBONE.NAME = "TINY"
+    c.OPTIM.MAX_EPOCH = 1
+    c.TRAINER.NAME = "MM_CLS_OP"
+    c.TRAINER.COCOOP.N_CTX = 2
+    c.TEST.NO_TEST = True
+    c.TPU.DTYPE = "float32"
+    c.TPU.MESH.DATA = data
+    c.TPU.MESH.MODEL = model
+    os.makedirs(c.OUTPUT_DIR, exist_ok=True)
+    return build_trainer(c)
+
+
+@pytest.fixture(scope="module")
+def trainers(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tp_trainer")
+    t_single = make_trainer(tmp, data=1, model=1, tag="single")
+    t_tp = make_trainer(tmp, data=4, model=2, tag="tp")
+    return t_single, t_tp
+
+
+def test_tp_trainer_routes_gspmd(trainers):
+    _, t_tp = trainers
+    assert t_tp.mesh is not None
+    assert dict(t_tp.mesh.shape) == {"data": 4, "model": 2}
+    # no shard_map step at model>1 — the plain-jit GSPMD step runs instead
+    assert t_tp.train_step_sharded is None
+    # frozen tower params really live TP-sharded over 'model'
+    leaf = t_tp.clip_params["visual"]["blocks"]["c_fc_w"]
+    assert "model" in str(leaf.sharding.spec)
+
+
+def test_tp_classifier_generation_matches_single_device(trainers):
+    t_single, t_tp = trainers
+    out_s = t_single.generate_classifiers()
+    out_tp = t_tp.generate_classifiers()
+    for key in (
+        "mm_classifier", "vision_classifier", "text_classifier",
+        "fusion_weight",
+    ):
+        np.testing.assert_allclose(
+            out_tp[key], out_s[key], atol=2e-5,
+            err_msg=f"TP generation diverged on {key}",
+        )
+
+
+def test_tp_train_step_runs(trainers):
+    """One forward_backward through the GSPMD route: finite loss, params
+    move."""
+    import jax
+
+    _, t_tp = trainers
+    batch = next(iter(t_tp.train_loader))
+    before = np.asarray(
+        jax.tree_util.tree_leaves(t_tp.agg_params)[0], np.float32
+    ).copy()
+    summary = t_tp.forward_backward(batch)
+    assert summary is not None and np.isfinite(summary["loss"])
+    after = np.asarray(
+        jax.tree_util.tree_leaves(t_tp.agg_params)[0], np.float32
+    )
+    assert not np.array_equal(before, after)
+
+
+def test_feature_extractor_gates_pallas_loudly(capsys):
+    """A block_fn passed alongside a model-parallel mesh is refused with a
+    loud log line (Pallas kernels have no SPMD partitioning rule)."""
+    import jax.numpy as jnp
+
+    from ovmr_tpu.engine.trainer import make_feature_extractor
+    from ovmr_tpu.models import clip as jclip
+    from ovmr_tpu.ops.attention import make_attn_fn
+    from ovmr_tpu.parallel import build_mesh
+
+    def fake_block_fn(*a, **k):  # would crash if ever invoked on CPU
+        raise AssertionError("Pallas block_fn must be gated off under TP")
+
+    import jax
+
+    cfg = jclip.TINY
+    params = jclip.init_params(jax.random.PRNGKey(0), cfg)
+    encode = make_feature_extractor(
+        cfg, make_attn_fn(False), jnp.float32,
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), batch_size=8,
+        mesh=build_mesh(data=4, model=2), block_fn=fake_block_fn,
+    )
+    assert "XLA block path" in capsys.readouterr().out
+    feats = encode(params, np.zeros((8, 3, 32, 32), np.float32))
+    assert np.isfinite(feats).all()
