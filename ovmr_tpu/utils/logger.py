@@ -18,7 +18,8 @@ class _Tee:
     def __init__(self, fpath: str):
         self.console = sys.stdout
         os.makedirs(os.path.dirname(fpath) or ".", exist_ok=True)
-        self.file = open(fpath, "w")
+        # line-buffered: a crashed/killed run leaves a scrapeable log.txt
+        self.file = open(fpath, "w", buffering=1)
 
     def write(self, msg: str) -> None:
         self.console.write(msg)
