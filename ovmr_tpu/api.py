@@ -230,11 +230,17 @@ class OVMRGenerator:
             return {key: np.asarray(v, np.float32) for key, v in out.items()}
 
         # the shared chunked recipe (one compiled program reused per chunk,
-        # padded with the visual-template row — models/ovmr.py)
+        # padded with the visual-template row — models/ovmr.py). The
+        # exemplar set moves to device ONCE in the compute dtype; chunks
+        # and the fusion scan both read that copy (at 21k scale the
+        # features are the dominant host->device transfer)
         jit_text, jit_heads = self._chunk_programs()
         vtok_dev = jnp.asarray(vtok)
+        feats_dev = jnp.asarray(
+            np.asarray(exemplar_feats, np.float32), self.dtype
+        )
         out = ovmr.generate_classifiers_chunked(
-            np.asarray(exemplar_feats, np.float32),
+            feats_dev,
             ptok,
             eot,
             vtok,
@@ -253,16 +259,14 @@ class OVMRGenerator:
             logit_scale = np.exp(
                 np.asarray(self.clip_params["logit_scale"], np.float32)
             )
-            # round exemplars through self.dtype first so fusion sees the
+            # feats_dev is rounded through self.dtype, so fusion sees the
             # SAME values as the single-program path (which casts feats to
             # the compute dtype before the F1 cross-validation) —
             # fusion_weight must not depend on which side of chunk_size N
             # falls
             out["fusion_weight"] = np.asarray(
                 ovmr.fusion_from_classifiers(
-                    jnp.asarray(exemplar_feats, self.dtype).astype(
-                        jnp.float32
-                    ),
+                    feats_dev.astype(jnp.float32),
                     jnp.asarray(out["mm_classifier"]),
                     jnp.asarray(out["vision_classifier"]),
                     jnp.asarray(out["text_classifier"]),

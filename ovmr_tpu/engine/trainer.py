@@ -757,8 +757,14 @@ class MM_CLS_OP(TrainerBase):
                 "text_classifier and fusion_weight."
             )
 
+        # one host->device transfer for the whole exemplar set (the
+        # dominant transfer at 21k scale); chunks are device slices and
+        # fusion reads the same copy. Rounding fusion inputs through the
+        # compute dtype also mirrors the reference, whose cross-validation
+        # features are stored half precision (``mm_…:224``).
+        feats_dev = jnp.asarray(feats, self.dtype)
         out = ovmr.generate_classifiers_chunked(
-            feats,
+            feats_dev,
             np.asarray(self.prompt_tokens),
             np.asarray(self.eot_idx),
             np.asarray(self.vis_tokens),
@@ -781,7 +787,7 @@ class MM_CLS_OP(TrainerBase):
             )
             out["fusion_weight"] = np.asarray(
                 ovmr.fusion_from_classifiers(
-                    jnp.asarray(feats),
+                    feats_dev.astype(jnp.float32),
                     jnp.asarray(out["mm_classifier"]),
                     jnp.asarray(out["vision_classifier"]),
                     jnp.asarray(out["text_classifier"]),

@@ -304,7 +304,10 @@ def generate_classifiers_chunked(
     :func:`fusion_from_classifiers`).
 
     Args:
-      exemplar_feats: [N, K, D] fp32 host array of L2-normalized features.
+      exemplar_feats: [N, K, D] L2-normalized features — a host fp32 array
+        or an already-device array. Converted to ``feats_dtype`` and moved
+        to device ONCE; chunks are device slices (the exemplar set ships
+        through the (slow, on this relay) host link once, not per chunk).
       prompt_tokens/eot_idx/vis_tokens: from :func:`build_prompt_tokens`.
       chunk: classes per compiled program (caller picks: cfg knob, mesh
         divisibility).
@@ -328,8 +331,11 @@ def generate_classifiers_chunked(
     ptok_p[:n_cls] = np.asarray(prompt_tokens)
     eot_p = np.full(pad_n, int(eot_indices(vis[None])[0]), np.int32)
     eot_p[:n_cls] = np.asarray(eot_idx)
-    feats_p = np.zeros((pad_n,) + exemplar_feats.shape[1:], np.float32)
-    feats_p[:n_cls] = exemplar_feats
+    feats_p = jnp.asarray(exemplar_feats, feats_dtype)  # the one transfer
+    if pad_n > n_cls:
+        feats_p = jnp.pad(
+            feats_p, ((0, pad_n - n_cls),) + ((0, 0),) * (feats_p.ndim - 1)
+        )
 
     mm_parts, v_parts, vt_parts, t_parts = [], [], [], []
     for start in range(0, pad_n, chunk):
@@ -338,7 +344,7 @@ def generate_classifiers_chunked(
         if jit_text is not None:
             t_parts.append(jit_text(ptok_c))
         mm_c, v_c, vt_c = jit_heads(
-            place(jnp.asarray(feats_p[sl], feats_dtype)),
+            place(feats_p[sl]),
             ptok_c,
             place(jnp.asarray(eot_p[sl])),
         )
