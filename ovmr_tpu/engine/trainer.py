@@ -793,6 +793,10 @@ class MM_CLS_OP(TrainerBase):
                     jnp.asarray(out["text_classifier"]),
                     logit_scale,
                     float(cfg.EVAL_TAU),
+                    # rows shard over 'data', counts psum — same bits,
+                    # per-chip FLOPs / axis size (only engages above the
+                    # streaming row_chunk threshold)
+                    mesh=self.mesh,
                 ),
                 np.float32,
             )

@@ -239,6 +239,8 @@ def fusion_from_classifiers(
     eval_tau: float,
     class_mask: Optional[jax.Array] = None,
     row_chunk: int = 8192,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> jax.Array:
     """Preference-fusion weights from precomputed classifiers: per-class F1
     of each classifier on the exemplars -> softmax(tau * F1) [N, 3].
@@ -251,11 +253,35 @@ def fusion_from_classifiers(
     [row_chunk, N] fp32 instead of [n*k, N] — 122 GB at 21,843 classes x
     64 shots). Per-row logits/argmax are independent of chunking, so both
     paths produce identical F1 counts; equality is pinned by
-    ``tests/test_streaming_fusion.py``."""
+    ``tests/test_streaming_fusion.py``.
+
+    With a ``mesh`` whose ``mesh_axis`` is >1 (and the streaming path
+    active), exemplar rows shard over that axis and the F1 count vectors
+    psum — same bits, per-chip FLOPs divided by the axis size (see
+    :func:`ovmr_tpu.ops.fusion.streaming_fusion_weights_sharded`)."""
     n, k, d = exemplar_feats.shape
     m = n * k
     labels = jnp.repeat(jnp.arange(n), k)
     scale = jnp.asarray(logit_scale, jnp.float32)
+
+    if (
+        mesh is not None
+        and dict(mesh.shape).get(mesh_axis, 1) > 1
+        and m > row_chunk
+    ):
+        from ovmr_tpu.ops.fusion import streaming_fusion_weights_sharded
+
+        return streaming_fusion_weights_sharded(
+            mesh,
+            exemplar_feats.reshape(m, d),
+            labels,
+            (mm_cls, v_cls, t_cls),
+            scale,
+            eval_tau,
+            axis=mesh_axis,
+            class_mask=class_mask,
+            row_chunk=row_chunk,
+        )
 
     if m > row_chunk:
         return streaming_fusion_weights(

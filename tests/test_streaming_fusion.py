@@ -133,6 +133,92 @@ def test_streaming_respects_class_mask():
     np.testing.assert_array_equal(w_direct, w_stream)
 
 
+def _mesh(data, model=1):
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(
+        np.asarray(jax.devices()[: data * model]).reshape(data, model),
+        ("data", "model"),
+    )
+
+
+@pytest.mark.parametrize("data_axis", [4, 8])
+def test_sharded_streaming_equals_single_device(data_axis):
+    """Mesh-sharded fusion (rows over 'data', psum'd counts) is
+    bit-identical to the single-device streaming path — counts are
+    integers in fp32, so cross-shard summation is exact."""
+    from ovmr_tpu.ops.fusion import streaming_fusion_weights_sharded
+
+    rng = np.random.default_rng(5)
+    n, k, d = 61, 11, 16  # m = 671, not divisible by 4 or 8
+    feats = _rand(rng, n * k, d)
+    labels = np.repeat(np.arange(n), k)
+    cls3 = [jnp.asarray(_rand(rng, n, d)) for _ in range(3)]
+
+    single = np.asarray(
+        streaming_fusion_weights(
+            jnp.asarray(feats), jnp.asarray(labels), cls3, SCALE, TAU,
+            row_chunk=64,
+        )
+    )
+    sharded = np.asarray(
+        streaming_fusion_weights_sharded(
+            _mesh(data_axis),
+            jnp.asarray(feats),
+            jnp.asarray(labels),
+            cls3,
+            SCALE,
+            TAU,
+            row_chunk=64,
+        )
+    )
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_sharded_fusion_with_model_axis_and_mask():
+    """data=4 x model=2 mesh (rows shard over 'data' only, replicated over
+    'model') with a class mask — matches the single-device path exactly,
+    through the fusion_from_classifiers mesh dispatch."""
+    rng = np.random.default_rng(6)
+    n, k, d, real = 37, 6, 8, 29
+    feats = _rand(rng, n, k, d)
+    mask = jnp.asarray(np.arange(n) < real)
+    cls3 = [jnp.asarray(_rand(rng, n, d)) for _ in range(3)]
+
+    single = np.asarray(
+        fusion_from_classifiers(
+            jnp.asarray(feats), *cls3, SCALE, TAU,
+            class_mask=mask, row_chunk=32,
+        )
+    )
+    sharded = np.asarray(
+        fusion_from_classifiers(
+            jnp.asarray(feats), *cls3, SCALE, TAU,
+            class_mask=mask, row_chunk=32, mesh=_mesh(4, 2),
+        )
+    )
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_fusion_mesh_dispatch_below_threshold_stays_single():
+    """mesh given but m <= row_chunk: the direct path runs (no sharding
+    overhead for small exports) and results match."""
+    rng = np.random.default_rng(7)
+    n, k, d = 12, 4, 8
+    feats = _rand(rng, n, k, d)
+    cls3 = [jnp.asarray(_rand(rng, n, d)) for _ in range(3)]
+    w_nomesh = np.asarray(
+        fusion_from_classifiers(jnp.asarray(feats), *cls3, SCALE, TAU)
+    )
+    w_mesh = np.asarray(
+        fusion_from_classifiers(
+            jnp.asarray(feats), *cls3, SCALE, TAU, mesh=_mesh(8)
+        )
+    )
+    np.testing.assert_array_equal(w_nomesh, w_mesh)
+
+
 def _fusion_at_shape(n, k, d, row_chunk):
     rng = np.random.default_rng(4)
     feats = _rand(rng, n * k, d)
