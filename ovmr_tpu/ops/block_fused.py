@@ -338,13 +338,19 @@ def fused_mlp_half_chunked(
 # weight-residency cutoffs: each half keeps its weights in VMEM across the
 # grid; oversized halves (int8 serving weights, fp16 activations, >9 MB
 # attention weights) fall back to XLA. Decisions are static at trace time.
-# Measured ViT-L/14 recipe (batch 128 interleaved A/B, docs/DESIGN.md):
-# fused attention @ g=1 + hidden-chunked MLP = 156 ms vs 220 ms XLA; the
-# chunked MLP WITHOUT fused attention measured slower than XLA (233 ms),
-# so it only engages alongside a fused attention half.
+# Measured ViT-L/14 recipe (batch 128 interleaved A/B, docs/DESIGN.md,
+# tools/ab_vitl2.py): fused attention @ g=2 + fully-RESIDENT 16.8 MB MLP
+# @ g=2 = 142.3 ms vs 155.1 for the round-2 chunked recipe vs 220 XLA; the
+# chunked MLP survives only as the >_MLP_W_RESIDENT_FWD fallback (and it
+# measured slower than XLA WITHOUT a fused attention half, so it still
+# only engages alongside one).
 _ATTN_W_CUTOFF = 9 * 1024 * 1024
-_ATTN_W_SMALL = 6 * 1024 * 1024  # above this, force g=1 tiles
+_ATTN_W_SMALL = 6 * 1024 * 1024  # above this, cap tiles at g=2 (measured)
 _MLP_W_CUTOFF = 10 * 1024 * 1024
+# forward-only big-MLP residency tier (ViT-L 16.8 MB): the dx backward
+# kernels keep the stricter _MLP_W_CUTOFF (only text towers — all under
+# 10 MB — are ever differentiated; see _fused_block_bwd)
+_MLP_W_RESIDENT_FWD = 18 * 1024 * 1024
 _TILE_BYTES = 6 * 1024 * 1024
 
 
@@ -418,7 +424,11 @@ def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False, want_y=False):
     attn_fused = not unfused and attn_w <= _ATTN_W_CUTOFF
     if attn_fused:
         if attn_w > _ATTN_W_SMALL:
-            g_attn = 1
+            # big-attention towers (ViT-L 8.4 MB): g=2 measured faster
+            # than the round-2 forced g=1 (tools/ab_vitl2.py); the padded
+            # x-tile cap in _g_limits already clamps long sequences
+            # (@336's 577 tokens) back to g=1
+            g_attn = min(g_attn, 2)
         y = fused_attn_half(
             x, p["w_qkv"], p["b_qkv"], p["w_out"], p["b_out"],
             p["ln_1_scale"], p["ln_1_bias"],
@@ -437,8 +447,24 @@ def _fused_block_fwd_impl(x, p, n_head, mask, interpret=False, want_y=False):
             ),
             y,
         )
+    g_big = min(2, _tile_token_limit(l, d, itemsize))
+    if attn_fused and mlp_w <= _MLP_W_RESIDENT_FWD and g_big >= 2:
+        # big-MLP towers at 2-row tiles (ViT-L/14@224, 16.8 MB): keep the
+        # weights resident anyway — measured 142.3 ms vs 150-162 for every
+        # chunked variant at batch 128 (tools/ab_vitl2.py). Long sequences
+        # whose padded x-tile caps g at 1 (@336's 577 tokens) measured
+        # FASTER chunked (125 vs 131 ms resident, tools/ab_vitl336.py), so
+        # they keep the chunked route below.
+        return ret(
+            fused_mlp_half(
+                y, p["c_fc_w"], p["c_fc_b"], p["c_proj_w"], p["c_proj_b"],
+                p["ln_2_scale"], p["ln_2_bias"], g_limit=g_big,
+                interpret=interpret,
+            ),
+            y,
+        )
     if attn_fused:
-        # big-MLP towers (ViT-L/14): stream the weights in hidden-dim
+        # beyond the residency tier: stream the weights in hidden-dim
         # chunks; the hidden activation still never leaves VMEM
         chunks = max(2, -(-mlp_w // (8 * 1024 * 1024)))
         return ret(

@@ -273,6 +273,57 @@ def test_tile_caps_padded_x_bytes():
 
 
 @pytest.mark.parametrize(
+    "l,want_attn_g,want_mlp",
+    [
+        (257, 2, ("resident", 2)),  # ViT-L/14@224: measured winner
+        (577, 1, ("chunked", 1)),   # @336: chunked stays faster
+    ],
+)
+def test_vitl_routing(monkeypatch, l, want_attn_g, want_mlp):
+    """Static routing for big-weight towers (tools/ab_vitl2.py /
+    ab_vitl336.py measurements): ViT-L@224 runs fused attention g=2 +
+    fully-RESIDENT 16.8 MB MLP g=2; @336's 577-token padded x-tile caps g
+    at 1, where chunked streaming measured faster. Kernels are stubbed —
+    this pins the trace-time selector only."""
+    import ovmr_tpu.ops.block_fused as bf
+
+    calls = []
+    monkeypatch.setattr(
+        bf, "fused_attn_half",
+        lambda x, *a, **k: (calls.append(("attn", k["g_limit"])), x)[1],
+    )
+    monkeypatch.setattr(
+        bf, "fused_mlp_half",
+        lambda y, *a, **k: (calls.append(("resident", k["g_limit"])), y)[1],
+    )
+    monkeypatch.setattr(
+        bf, "fused_mlp_half_chunked",
+        lambda y, *a, **k: (calls.append(("chunked", k["g_limit"])), y)[1],
+    )
+
+    d, hidden = 1024, 4096
+    z = jnp.zeros
+    p = {
+        "w_qkv": z((d, 3 * d), jnp.bfloat16),
+        "b_qkv": z((3 * d,), jnp.bfloat16),
+        "w_out": z((d, d), jnp.bfloat16),
+        "b_out": z((d,), jnp.bfloat16),
+        "c_fc_w": z((d, hidden), jnp.bfloat16),
+        "c_fc_b": z((hidden,), jnp.bfloat16),
+        "c_proj_w": z((hidden, d), jnp.bfloat16),
+        "c_proj_b": z((d,), jnp.bfloat16),
+        "ln_1_scale": z((d,), jnp.bfloat16),
+        "ln_1_bias": z((d,), jnp.bfloat16),
+        "ln_2_scale": z((d,), jnp.bfloat16),
+        "ln_2_bias": z((d,), jnp.bfloat16),
+    }
+    x = z((2, l, d), jnp.bfloat16)
+    bf._fused_block_fwd_impl(x, p, 16, None)
+    assert ("attn", want_attn_g) in calls, calls
+    assert want_mlp in calls, calls
+
+
+@pytest.mark.parametrize(
     "b,l,d,n_head,dtype,masked",
     [
         (1, 1, 64, 1, jnp.float32, False),
