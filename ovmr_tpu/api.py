@@ -260,13 +260,13 @@ class OVMRGenerator:
                 np.asarray(self.clip_params["logit_scale"], np.float32)
             )
             # feats_dev is rounded through self.dtype, so fusion sees the
-            # SAME values as the single-program path (which casts feats to
-            # the compute dtype before the F1 cross-validation) —
-            # fusion_weight must not depend on which side of chunk_size N
-            # falls
+            # SAME values as the single-program path — fusion_weight must
+            # not depend on which side of chunk_size N falls. No eager fp32
+            # widening: every fusion path casts per row chunk (bf16->fp32
+            # is exact), halving peak HBM on the 21k path
             out["fusion_weight"] = np.asarray(
                 ovmr.fusion_from_classifiers(
-                    feats_dev.astype(jnp.float32),
+                    feats_dev,
                     jnp.asarray(out["mm_classifier"]),
                     jnp.asarray(out["vision_classifier"]),
                     jnp.asarray(out["text_classifier"]),

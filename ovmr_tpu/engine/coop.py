@@ -207,6 +207,14 @@ class CoOp(TrainerBase):
 
         self.mesh = None
         cfg = self.cfg
+        if jax.device_count() > 1 and cfg.TPU.MESH.MODEL > 1:
+            # loud, not silent: CoOp has no tensor-parallel step (towers
+            # TP-shard only in MM_CLS_OP); the 'model' axis replicates here
+            print(
+                "NOTE: CoOp ignores TPU.MESH.MODEL="
+                f"{cfg.TPU.MESH.MODEL} — no TP step for stage-2 (prompt "
+                "vectors + frozen towers fit one chip); data-parallel only"
+            )
         if jax.device_count() > 1 and cfg.TPU.MESH.DATA != 1:
             from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map

@@ -107,16 +107,18 @@ def make_feature_extractor(
         )
         block_fn = None
 
-    # with a mesh, every batch pads up to a multiple of the device count so
-    # the single compiled program always shards over 'data' — never a silent
-    # replicated fallback
-    if mesh is not None and batch_size % mesh.devices.size != 0:
-        padded = pad_to_multiple(batch_size, mesh.devices.size)
-        print(
-            f"WARNING: eval batch {batch_size} not divisible by "
-            f"{mesh.devices.size} devices; padding compiled batch to {padded}"
-        )
-        batch_size = padded
+    # with a mesh, every batch pads up to a multiple of the 'data' axis (the
+    # only axis the batch shards over) so the single compiled program always
+    # shards over 'data' — never a silent replicated fallback
+    if mesh is not None:
+        data_size = dict(mesh.shape)["data"]
+        if batch_size % data_size != 0:
+            padded = pad_to_multiple(batch_size, data_size)
+            print(
+                f"WARNING: eval batch {batch_size} not divisible by the "
+                f"data axis ({data_size}); padding compiled batch to {padded}"
+            )
+            batch_size = padded
 
     def enc_f32(p, x):
         return post(
@@ -486,10 +488,14 @@ class MM_CLS_OP(TrainerBase):
                 std=tuple(cfg.INPUT.PIXEL_STD),
                 out_dtype=self.dtype,
             )
-        # mesh-parallel placement whenever more than one device is visible
+        # mesh-parallel placement whenever more than one device is visible;
+        # DATA=1 alone opts out, but pure TP (DATA=1, MODEL>1) still needs
+        # the mesh so place_tower_params and the GSPMD route engage
         self.mesh = None
         self.train_step_sharded = None
-        if jax.device_count() > 1 and cfg.TPU.MESH.DATA != 1:
+        if jax.device_count() > 1 and (
+            cfg.TPU.MESH.DATA != 1 or cfg.TPU.MESH.MODEL > 1
+        ):
             self.mesh = build_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
             print(f"Data-parallel mesh: {dict(self.mesh.shape)}")
             if dict(self.mesh.shape).get("model", 1) > 1:
@@ -785,9 +791,12 @@ class MM_CLS_OP(TrainerBase):
             logit_scale = np.exp(
                 np.asarray(self.clip_params["logit_scale"], np.float32)
             )
+            # feats stay in the compute dtype: every fusion path casts to
+            # fp32 per row chunk (bf16->fp32 is exact), so an eager full-
+            # tensor cast would only double peak HBM at 21k scale
             out["fusion_weight"] = np.asarray(
                 ovmr.fusion_from_classifiers(
-                    feats_dev.astype(jnp.float32),
+                    feats_dev,
                     jnp.asarray(out["mm_classifier"]),
                     jnp.asarray(out["vision_classifier"]),
                     jnp.asarray(out["text_classifier"]),

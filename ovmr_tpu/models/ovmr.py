@@ -24,7 +24,7 @@ padded by the caller, per-dataset variation lives in data, not in traces.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -391,6 +391,21 @@ def generate_classifiers_chunked(
     return out
 
 
+def _require_text_head(classifiers: dict, mode: str) -> None:
+    """Refuse text/fusion eval against an artifact whose text head was
+    skipped by the >=5000-class guard, instead of a raw KeyError. Covers
+    every eval surface (trainer, infer.py, api.classify) — the trainer's
+    prepare_test repeats this with config-level wording."""
+    if mode in ("text", "fusion") and "text_classifier" not in classifiers:
+        raise ValueError(
+            f"eval mode {mode!r} needs the frozen text classifier, but this "
+            "artifact omits it (generated at >= TEXT_CLS_MAX_CLASSES classes "
+            "— the reference >=5000-class guard; the reference itself cannot "
+            "eval at that scale at all). Use vision/multimodal, or "
+            "regenerate with a higher TPU.TEXT_CLS_MAX_CLASSES."
+        )
+
+
 def eval_logits_np(
     image_feats: "np.ndarray",
     classifiers: dict,
@@ -400,6 +415,7 @@ def eval_logits_np(
     """Host-side numpy twin of :func:`eval_logits` for [B, D] feature blocks
     (the per-batch classifier matmul + softmax is tiny; running it on host
     avoids an extra device dispatch per eval batch)."""
+    _require_text_head(classifiers, mode)
 
     def probs(cls):
         logits = float(logit_scale) * image_feats.astype(np.float32) @ np.asarray(
@@ -438,6 +454,8 @@ def eval_logits(
     (reference ``mm_…:348-363``). Returns softmaxed scores for every mode,
     matching what the reference feeds the evaluator."""
     from ovmr_tpu.ops.fusion import fuse_probs
+
+    _require_text_head(classifiers, mode)
 
     scale = jnp.asarray(logit_scale, jnp.float32)
     feats = image_feats.astype(jnp.float32)

@@ -109,6 +109,50 @@ def test_text_and_fusion_modes_refuse(guarded_and_full):
     assert np.isfinite(probs).all()
 
 
+def test_eval_logits_refuse_without_text_head():
+    """Every eval surface (infer.py / api.classify use eval_logits_np;
+    the device path uses eval_logits) refuses text/fusion against a
+    guarded artifact with a clear error, not a raw KeyError."""
+    import jax.numpy as jnp
+
+    from ovmr_tpu.models import ovmr
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(2, 8)).astype(np.float32)
+    guarded = {
+        "mm_classifier": rng.normal(size=(4, 8)).astype(np.float32),
+        "vision_classifier": rng.normal(size=(4, 8)).astype(np.float32),
+    }
+    for mode in ("text", "fusion"):
+        with pytest.raises(ValueError, match="5000-class guard"):
+            ovmr.eval_logits_np(feats, guarded, 100.0, mode)
+        with pytest.raises(ValueError, match="5000-class guard"):
+            ovmr.eval_logits(
+                jnp.asarray(feats), guarded, jnp.float32(100.0), mode
+            )
+    for mode in ("vision", "multimodal"):
+        probs = ovmr.eval_logits_np(feats, guarded, 100.0, mode)
+        assert probs.shape == (2, 4) and np.isfinite(probs).all()
+
+
+def test_export_refuses_missing_required_keys(tmp_path):
+    """Only text_classifier/fusion_weight may legitimately be absent (the
+    guard); a missing mm/vision classifier is an upstream bug and must
+    fail loudly instead of writing a corrupt artifact."""
+    from ovmr_tpu.engine import checkpoint as ckpt
+
+    rng = np.random.default_rng(0)
+    base = {
+        "mm_classifier": rng.normal(size=(4, 8)).astype(np.float32),
+        "vision_classifier": rng.normal(size=(4, 8)).astype(np.float32),
+        "visual_tokens": rng.normal(size=(4, 2, 8)).astype(np.float32),
+    }
+    ckpt.export_classifiers_torch(base, str(tmp_path / "ok"))  # guard shape: fine
+    broken = {k: v for k, v in base.items() if k != "mm_classifier"}
+    with pytest.raises(KeyError, match="mm_classifier"):
+        ckpt.export_classifiers_torch(broken, str(tmp_path / "broken"))
+
+
 def test_api_guard_above_5000_classes():
     """>5000 synthetic classes through the API: the DEFAULT threshold (the
     reference's 5000) skips the text head; overriding it restores the full

@@ -95,6 +95,40 @@ def test_tp_train_step_runs(trainers):
     assert not np.array_equal(before, after)
 
 
+def test_pure_tp_builds_mesh(tmp_path):
+    """DATA=1, MODEL>1 (pure tensor parallelism — the config for a tower
+    too big for one chip) must still build the mesh and TP-place the tower
+    params; the DATA!=1 opt-out alone must not disable it."""
+    t = make_trainer(tmp_path, data=1, model=2, tag="pure_tp")
+    assert t.mesh is not None
+    assert dict(t.mesh.shape) == {"data": 1, "model": 2}
+    leaf = t.clip_params["visual"]["blocks"]["c_fc_w"]
+    assert "model" in str(leaf.sharding.spec)
+
+
+def test_eval_batch_pads_to_data_axis_not_device_count(capsys):
+    """On a data=4 x model=2 mesh, an eval batch of 4 shards cleanly over
+    the 'data' axis — it must not be padded to the 8-device count."""
+    import jax
+    import jax.numpy as jnp
+
+    from ovmr_tpu.engine.trainer import make_feature_extractor
+    from ovmr_tpu.models import clip as jclip
+    from ovmr_tpu.ops.attention import make_attn_fn
+    from ovmr_tpu.parallel import build_mesh
+
+    cfg = jclip.TINY
+    params = jclip.init_params(jax.random.PRNGKey(0), cfg)
+    encode = make_feature_extractor(
+        cfg, make_attn_fn(False), jnp.float32,
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), batch_size=4,
+        mesh=build_mesh(data=4, model=2),
+    )
+    assert "WARNING" not in capsys.readouterr().out
+    feats = encode(params, np.zeros((4, 3, 32, 32), np.float32))
+    assert feats.shape[0] == 4 and np.isfinite(feats).all()
+
+
 def test_feature_extractor_gates_pallas_loudly(capsys):
     """A block_fn passed alongside a model-parallel mesh is refused with a
     loud log line (Pallas kernels have no SPMD partitioning rule)."""
