@@ -227,21 +227,22 @@ def export_classifiers_torch(classifiers: dict, output_dir: str) -> None:
     import torch
 
     mkdir_if_missing(output_dir)
+    # only the guard-skipped keys may legitimately be absent; a missing
+    # mm/vision classifier or visual_tokens is an upstream bug — validate
+    # ALL required keys before writing anything, so a bad dict never
+    # leaves a half-written output dir
+    for key in ("mm_classifier", "vision_classifier", "visual_tokens"):
+        if classifiers.get(key) is None:
+            raise KeyError(
+                f"export_classifiers_torch: required key {key!r} missing"
+            )
     artifact = {}
     for key in (
         "text_classifier", "vision_classifier", "mm_classifier", "fusion_weight"
     ):
         value = classifiers.get(key)
-        if value is None:
-            # only the guard-skipped keys may legitimately be absent; a
-            # missing mm/vision classifier is an upstream bug — fail here
-            # rather than writing a corrupt artifact
-            if key not in ("text_classifier", "fusion_weight"):
-                raise KeyError(
-                    f"export_classifiers_torch: required key {key!r} missing"
-                )
-            continue
-        artifact[key] = torch.tensor(np.asarray(value, np.float32))
+        if value is not None:
+            artifact[key] = torch.tensor(np.asarray(value, np.float32))
     torch.save(artifact, osp.join(output_dir, "mm_classifiers.pt"))
     torch.save(
         {

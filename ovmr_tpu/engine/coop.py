@@ -210,10 +210,15 @@ class CoOp(TrainerBase):
         if jax.device_count() > 1 and cfg.TPU.MESH.MODEL > 1:
             # loud, not silent: CoOp has no tensor-parallel step (towers
             # TP-shard only in MM_CLS_OP); the 'model' axis replicates here
+            dp = (
+                "data-parallel only"
+                if cfg.TPU.MESH.DATA != 1
+                else "running the single-program step (MESH.DATA=1)"
+            )
             print(
                 "NOTE: CoOp ignores TPU.MESH.MODEL="
                 f"{cfg.TPU.MESH.MODEL} — no TP step for stage-2 (prompt "
-                "vectors + frozen towers fit one chip); data-parallel only"
+                f"vectors + frozen towers fit one chip); {dp}"
             )
         if jax.device_count() > 1 and cfg.TPU.MESH.DATA != 1:
             from jax.sharding import PartitionSpec as P
@@ -257,12 +262,25 @@ class CoOp(TrainerBase):
         labels = jnp.asarray(batch["label"].astype(np.int32))
         prompt_ind = int(self.py_rng.integers(0, 3)) if self.n_cls > 400 else 0
         step = self._step
-        if self.mesh is not None and images.shape[0] % self.mesh.devices.size == 0:
-            from ovmr_tpu.parallel import shard_batch
+        if self.mesh is not None:
+            # the batch shards over 'data' only — divisibility by the data
+            # axis is the requirement, not the full device count
+            data_size = dict(self.mesh.shape)["data"]
+            if images.shape[0] % data_size == 0:
+                from ovmr_tpu.parallel import shard_batch
 
-            images = shard_batch(self.mesh, images)
-            labels = shard_batch(self.mesh, labels)
-            step = self._step_sharded
+                images = shard_batch(self.mesh, images)
+                labels = shard_batch(self.mesh, labels)
+                step = self._step_sharded
+            elif not getattr(self, "_warned_unsharded", False):
+                # loud, not silent: ragged tail batches run the replicated
+                # single-program step
+                self._warned_unsharded = True
+                print(
+                    f"WARNING: CoOp batch {images.shape[0]} not divisible "
+                    f"by the data axis ({data_size}) runs replicated; "
+                    "choose BATCH_SIZE divisible by the mesh"
+                )
         self.params, self.opt_state, loss = step(
             self.params, self.opt_state, self.clip_params, images, labels,
             prompt_ind,

@@ -493,6 +493,13 @@ class MM_CLS_OP(TrainerBase):
         # the mesh so place_tower_params and the GSPMD route engage
         self.mesh = None
         self.train_step_sharded = None
+        if jax.device_count() == 1 and cfg.TPU.MESH.MODEL > 1:
+            # loud, not silent: a TP config on a single-chip host runs
+            # un-sharded — the user should not believe TP is active
+            print(
+                f"WARNING: TPU.MESH.MODEL={cfg.TPU.MESH.MODEL} requested "
+                "but only one device is visible; running un-sharded"
+            )
         if jax.device_count() > 1 and (
             cfg.TPU.MESH.DATA != 1 or cfg.TPU.MESH.MODEL > 1
         ):

@@ -396,10 +396,13 @@ def _require_text_head(classifiers: dict, mode: str) -> None:
     skipped by the >=5000-class guard, instead of a raw KeyError. Covers
     every eval surface (trainer, infer.py, api.classify) — the trainer's
     prepare_test repeats this with config-level wording."""
-    if mode in ("text", "fusion") and "text_classifier" not in classifiers:
+    needed = {"text": ("text_classifier",),
+              "fusion": ("text_classifier", "fusion_weight")}.get(mode, ())
+    missing = [k for k in needed if k not in classifiers]
+    if missing:
         raise ValueError(
-            f"eval mode {mode!r} needs the frozen text classifier, but this "
-            "artifact omits it (generated at >= TEXT_CLS_MAX_CLASSES classes "
+            f"eval mode {mode!r} needs {', '.join(missing)}, which this "
+            "artifact omits (generated at >= TEXT_CLS_MAX_CLASSES classes "
             "— the reference >=5000-class guard; the reference itself cannot "
             "eval at that scale at all). Use vision/multimodal, or "
             "regenerate with a higher TPU.TEXT_CLS_MAX_CLASSES."

@@ -8,11 +8,9 @@ someone asks CoOp for a model axis (CoOp has no TP step — towers are
 frozen and fit one chip; TP lives in MM_CLS_OP).
 """
 
-import copy
 import os
 
 import numpy as np
-import pytest
 
 from ovmr_tpu.utils.defaults import get_cfg_default
 
@@ -48,7 +46,7 @@ def test_coop_sharded_step_matches_single_program(tmp_path):
 
     register_all_trainers()
     c_mesh = base_cfg(tmp_path, "mesh")  # MESH.DATA=-1 -> data=8 mesh
-    c_one = copy.deepcopy(base_cfg(tmp_path, "one"))
+    c_one = base_cfg(tmp_path, "one")
     c_one.TPU.MESH.DATA = 1  # single-program reference
 
     t_mesh = build_trainer(c_mesh)
@@ -91,3 +89,21 @@ def test_coop_model_axis_note_is_loud(tmp_path, capsys):
     batch = next(iter(t.train_loader))
     summary = t.forward_backward(batch)
     assert np.isfinite(summary["loss"])
+
+    # a batch divisible by the data axis (4) but NOT the device count (8)
+    # must still shard; a ragged one falls back loudly
+    capsys.readouterr()
+    ragged = {
+        "img": np.asarray(batch["img"])[:6],
+        "label": np.asarray(batch["label"])[:6],
+    }
+    summary = t.forward_backward(ragged)
+    assert np.isfinite(summary["loss"])
+    assert "runs replicated" in capsys.readouterr().out
+    clean = {
+        "img": np.asarray(batch["img"])[:12],
+        "label": np.asarray(batch["label"])[:12],
+    }
+    summary = t.forward_backward(clean)
+    assert np.isfinite(summary["loss"])
+    assert "WARNING" not in capsys.readouterr().out

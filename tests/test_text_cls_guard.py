@@ -133,6 +133,13 @@ def test_eval_logits_refuse_without_text_head():
     for mode in ("vision", "multimodal"):
         probs = ovmr.eval_logits_np(feats, guarded, 100.0, mode)
         assert probs.shape == (2, 4) and np.isfinite(probs).all()
+    # a foreign artifact with a text head but no fusion_weight refuses
+    # fusion mode the same way (not a raw KeyError)
+    partial = dict(guarded, text_classifier=guarded["mm_classifier"])
+    with pytest.raises(ValueError, match="fusion_weight"):
+        ovmr.eval_logits_np(feats, partial, 100.0, "fusion")
+    probs = ovmr.eval_logits_np(feats, partial, 100.0, "text")
+    assert probs.shape == (2, 4)
 
 
 def test_export_refuses_missing_required_keys(tmp_path):
@@ -148,9 +155,13 @@ def test_export_refuses_missing_required_keys(tmp_path):
         "visual_tokens": rng.normal(size=(4, 2, 8)).astype(np.float32),
     }
     ckpt.export_classifiers_torch(base, str(tmp_path / "ok"))  # guard shape: fine
-    broken = {k: v for k, v in base.items() if k != "mm_classifier"}
-    with pytest.raises(KeyError, match="mm_classifier"):
-        ckpt.export_classifiers_torch(broken, str(tmp_path / "broken"))
+    for key in ("mm_classifier", "vision_classifier", "visual_tokens"):
+        broken = {k: v for k, v in base.items() if k != key}
+        outdir = tmp_path / f"broken_{key}"
+        with pytest.raises(KeyError, match=key):
+            ckpt.export_classifiers_torch(broken, str(outdir))
+        # validation runs BEFORE any write — no half-written artifact
+        assert not os.path.exists(outdir / "mm_classifiers.pt")
 
 
 def test_api_guard_above_5000_classes():
