@@ -1,11 +1,12 @@
 """CoOp stage-2 shard_map step vs the single-program step.
 
 The CoOp trainer data-shards its step over the mesh ('data' axis,
-pmean'd loss/grads — `engine/coop.py::_build_steps`). These tests pin
-that the sharded step produces the same numbers as the single-device
-program on an identical batch, and that the loud no-TP note fires when
-someone asks CoOp for a model axis (CoOp has no TP step — towers are
-frozen and fit one chip; TP lives in MM_CLS_OP).
+pmean'd loss/grads — `engine/coop.py::_build_steps`); with
+TPU.MESH.MODEL>1 it takes the plain-jit GSPMD route (TP-placed tower
+params, batch over 'data') like MM_CLS_OP. These tests pin that both
+sharded steps — and the TP eval path — reproduce the single-device
+program on identical batches, and that a TP request on a one-device
+host warns loudly instead of silently running un-sharded.
 """
 
 import os
@@ -73,37 +74,77 @@ def test_coop_sharded_step_matches_single_program(tmp_path):
     )
 
 
-def test_coop_model_axis_note_is_loud(tmp_path, capsys):
+def test_coop_tp_step_matches_single_program(tmp_path, capsys):
+    """TPU.MESH.MODEL>1 takes the plain-jit GSPMD route (TP-placed tower
+    params, batch over 'data') and must reproduce the single program."""
     from ovmr_tpu.engine import register_all_trainers
     from ovmr_tpu.engine.trainer import build_trainer
 
     register_all_trainers()
-    c = base_cfg(tmp_path, "tp_note")
-    c.TPU.MESH.DATA = 4
-    c.TPU.MESH.MODEL = 2
-    t = build_trainer(c)
-    out = capsys.readouterr().out
-    assert "CoOp ignores TPU.MESH.MODEL" in out
-    # data-parallel mesh still built; step still runs
-    assert t.mesh is not None
-    batch = next(iter(t.train_loader))
-    summary = t.forward_backward(batch)
-    assert np.isfinite(summary["loss"])
+    c_tp = base_cfg(tmp_path, "tp")
+    c_tp.TPU.MESH.DATA = 4
+    c_tp.TPU.MESH.MODEL = 2
+    c_one = base_cfg(tmp_path, "tp_one")
+    c_one.TPU.MESH.DATA = 1
 
-    # a batch divisible by the data axis (4) but NOT the device count (8)
-    # must still shard; a ragged one falls back loudly
+    t_tp = build_trainer(c_tp)
+    out = capsys.readouterr().out
+    assert "CoOp tensor-parallel mesh" in out
+    assert t_tp._tp and dict(t_tp.mesh.shape) == {"data": 4, "model": 2}
+    t_one = build_trainer(c_one)
+    assert t_one.mesh is None
+    np.testing.assert_array_equal(
+        np.asarray(t_tp.params["ctx"]), np.asarray(t_one.params["ctx"])
+    )
+
+    batch = next(iter(t_one.train_loader))
+    s_tp = t_tp.forward_backward(batch)
+    s_one = t_one.forward_backward(batch)
+    np.testing.assert_allclose(s_tp["loss"], s_one["loss"], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(t_tp.params["ctx"]),
+        np.asarray(t_one.params["ctx"]),
+        atol=2e-5,
+        err_msg="CoOp GSPMD TP step diverged from the single program",
+    )
+
+    # eval path under TP: text features + fusion + inference agree with
+    # the single program (before the ragged step below advances t_tp only)
+    t_tp.prepare_test()
+    t_one.prepare_test()
+    for k in ("mm_classifier", "vision_classifier", "text_classifier",
+              "fusion_weight"):
+        np.testing.assert_allclose(
+            t_tp.classifiers[k], t_one.classifiers[k], atol=2e-5,
+            err_msg=f"TP eval diverged on {k}",
+        )
+    logits_tp = t_tp.model_inference(batch)
+    logits_one = t_one.model_inference(batch)
+    np.testing.assert_allclose(logits_tp, logits_one, atol=2e-4)
+
+    # ragged tail (not divisible by data=4): one program, replicated
+    # batch, loud warning — numbers still finite
     capsys.readouterr()
     ragged = {
         "img": np.asarray(batch["img"])[:6],
         "label": np.asarray(batch["label"])[:6],
     }
-    summary = t.forward_backward(ragged)
+    summary = t_tp.forward_backward(ragged)
     assert np.isfinite(summary["loss"])
-    assert "runs replicated" in capsys.readouterr().out
-    clean = {
-        "img": np.asarray(batch["img"])[:12],
-        "label": np.asarray(batch["label"])[:12],
-    }
-    summary = t.forward_backward(clean)
-    assert np.isfinite(summary["loss"])
-    assert "WARNING" not in capsys.readouterr().out
+    assert "replicates over 'data'" in capsys.readouterr().out
+
+
+def test_coop_tp_single_device_warns(tmp_path, capsys, monkeypatch):
+    import jax
+
+    from ovmr_tpu.engine import register_all_trainers
+    from ovmr_tpu.engine.trainer import build_trainer
+
+    register_all_trainers()
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    c = base_cfg(tmp_path, "tp_onedev")
+    c.TPU.MESH.MODEL = 2
+    t = build_trainer(c)
+    out = capsys.readouterr().out
+    assert "only one device is visible" in out
+    assert t.mesh is None and not t._tp
