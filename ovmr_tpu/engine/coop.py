@@ -205,69 +205,37 @@ class CoOp(TrainerBase):
 
         step = partial(jax.jit, static_argnames=("prompt_ind",))(local_step)
 
-        self.mesh = None
-        self._tp = False
-        cfg = self.cfg
-        if jax.device_count() == 1 and cfg.TPU.MESH.MODEL > 1:
-            # loud, not silent: a TP config on a single-chip host runs
-            # un-sharded — the user should not believe TP is active
-            print(
-                f"WARNING: TPU.MESH.MODEL={cfg.TPU.MESH.MODEL} requested "
-                "but only one device is visible; running un-sharded"
-            )
-        if jax.device_count() > 1 and (
-            cfg.TPU.MESH.DATA != 1 or cfg.TPU.MESH.MODEL > 1
-        ):
-            from ovmr_tpu.parallel import build_mesh
+        # shared mesh/TP policy with MM_CLS_OP: TP (model>1) is the
+        # plain-jit GSPMD route — tower params TP-place (Megatron-style
+        # MLP split), Pallas block AND attention kernels gate off loudly
+        # (no SPMD rule); the differentiated text tower keeps per-layer
+        # remat on the XLA path (_text_tower_block_fn), so memory stays
+        # feasible
+        from ovmr_tpu.engine.trainer import setup_trainer_mesh
 
-            self.mesh = build_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
-            if dict(self.mesh.shape).get("model", 1) > 1:
-                # tensor parallelism takes the same GSPMD route as
-                # MM_CLS_OP: tower params TP-place (Megatron-style MLP
-                # split) and plain jit partitions the text-tower fwd+bwd
-                # and the image encode over 'model', the batch over 'data'.
-                # The fused Pallas kernels have no SPMD partitioning rule,
-                # so towers go through the XLA block path (loudly); the
-                # differentiated text tower keeps per-layer remat there
-                # (_text_tower_block_fn), so memory stays feasible.
-                self._tp = True
-                if self.block_fn is not None:
-                    print(
-                        "CoOp model-parallel mesh (model="
-                        f"{dict(self.mesh.shape)['model']}): routing towers "
-                        "to the XLA block path — the fused Pallas kernels "
-                        "have no SPMD partitioning rule (docs/DESIGN.md)"
-                    )
-                    self.block_fn = None
-                from ovmr_tpu.parallel import place_tower_params
+        (self.mesh, self._tp, self.clip_params, self.block_fn,
+         self.attn_fn) = setup_trainer_mesh(
+            self.cfg, self.clip_params, self.block_fn, self.attn_fn,
+            label="CoOp",
+        )
+        if self.mesh is not None and not self._tp:
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
 
-                self.clip_params = place_tower_params(
-                    self.mesh, self.clip_params
+            @partial(jax.jit, static_argnames=("prompt_ind",))
+            def sharded_step(params, opt_state, clip_params, images,
+                             labels, prompt_ind):
+                fn = shard_map(
+                    partial(local_step, prompt_ind=prompt_ind,
+                            axis="data"),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P(), P("data"), P("data")),
+                    out_specs=(P(), P(), P()),
+                    check_rep=False,
                 )
-                print(
-                    f"CoOp tensor-parallel mesh: {dict(self.mesh.shape)} "
-                    "(plain jit GSPMD step)"
-                )
-            else:
-                from jax.sharding import PartitionSpec as P
-                from jax.experimental.shard_map import shard_map
+                return fn(params, opt_state, clip_params, images, labels)
 
-                print(f"CoOp data-parallel mesh: {dict(self.mesh.shape)}")
-
-                @partial(jax.jit, static_argnames=("prompt_ind",))
-                def sharded_step(params, opt_state, clip_params, images,
-                                 labels, prompt_ind):
-                    fn = shard_map(
-                        partial(local_step, prompt_ind=prompt_ind,
-                                axis="data"),
-                        mesh=self.mesh,
-                        in_specs=(P(), P(), P(), P("data"), P("data")),
-                        out_specs=(P(), P(), P()),
-                        check_rep=False,
-                    )
-                    return fn(params, opt_state, clip_params, images, labels)
-
-                self._step_sharded = sharded_step
+            self._step_sharded = sharded_step
 
         self._step = step
         self._jit_text_features = jax.jit(self._text_features)
@@ -293,44 +261,27 @@ class CoOp(TrainerBase):
         labels = jnp.asarray(batch["label"].astype(np.int32))
         prompt_ind = int(self.py_rng.integers(0, 3)) if self.n_cls > 400 else 0
         step = self._step
-        if self.mesh is not None and self._tp:
-            # GSPMD route: the plain-jit step partitions towers over
-            # 'model' (TP-placed params travel as captured constants with
-            # their shardings); the batch shards over 'data' when it
-            # divides, otherwise it replicates — either way one program
-            data_size = dict(self.mesh.shape)["data"]
-            if data_size > 1 and images.shape[0] % data_size == 0:
-                from ovmr_tpu.parallel import shard_batch
-
-                images = shard_batch(self.mesh, images)
-                labels = shard_batch(self.mesh, labels)
-            elif data_size > 1 and not getattr(
-                self, "_warned_unsharded", False
-            ):
-                self._warned_unsharded = True
-                print(
-                    f"WARNING: CoOp batch {images.shape[0]} not divisible "
-                    f"by the data axis ({data_size}) replicates over "
-                    "'data'; choose BATCH_SIZE divisible by the mesh"
-                )
-        elif self.mesh is not None:
+        if self.mesh is not None:
             # the batch shards over 'data' only — divisibility by the data
-            # axis is the requirement, not the full device count
+            # axis is the requirement, not the full device count. Ragged
+            # tail batches run replicated (loudly). The step differs by
+            # route: TP keeps the plain-jit GSPMD program (TP-placed
+            # params travel with their shardings); data-parallel switches
+            # to the shard_map step.
             data_size = dict(self.mesh.shape)["data"]
             if images.shape[0] % data_size == 0:
                 from ovmr_tpu.parallel import shard_batch
 
                 images = shard_batch(self.mesh, images)
                 labels = shard_batch(self.mesh, labels)
-                step = self._step_sharded
+                if not self._tp:
+                    step = self._step_sharded
             elif not getattr(self, "_warned_unsharded", False):
-                # loud, not silent: ragged tail batches run the replicated
-                # single-program step
                 self._warned_unsharded = True
                 print(
                     f"WARNING: CoOp batch {images.shape[0]} not divisible "
-                    f"by the data axis ({data_size}) runs replicated; "
-                    "choose BATCH_SIZE divisible by the mesh"
+                    f"by the data axis ({data_size}) runs replicated over "
+                    "'data'; choose BATCH_SIZE divisible by the mesh"
                 )
         self.params, self.opt_state, loss = step(
             self.params, self.opt_state, self.clip_params, images, labels,

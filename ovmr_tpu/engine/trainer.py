@@ -38,7 +38,7 @@ from ovmr_tpu.models import clip as jclip
 from ovmr_tpu.models import ovmr
 from ovmr_tpu.models.aggregator import init_aggregator
 from ovmr_tpu.ops.attention import make_attn_fn
-from ovmr_tpu.ops.layers import l2_normalize
+from ovmr_tpu.ops.layers import attention_xla, l2_normalize
 from ovmr_tpu.parallel import build_mesh, pad_to_multiple
 from ovmr_tpu.utils import AverageMeter, MetricMeter, Registry
 
@@ -78,6 +78,64 @@ def load_or_init_clip(cfg):
     return jax.tree_util.tree_map(np.asarray, params), clip_cfg
 
 
+def setup_trainer_mesh(cfg, clip_params, block_fn, attn_fn, label=""):
+    """Mesh construction + tensor-parallel policy shared by MM_CLS_OP and
+    CoOp at build_model time (docs/DESIGN.md "Tensor parallelism").
+
+    Returns ``(mesh, tp, clip_params, block_fn, attn_fn)``:
+
+    - one visible device with a ``MODEL > 1`` config warns loudly and runs
+      un-sharded (mesh None) — the user should not believe TP is active;
+    - multi-device with ``DATA != 1`` or ``MODEL > 1`` builds the
+      ('data','model') mesh (``DATA=1`` alone opts out; pure TP still
+      needs the mesh);
+    - a model axis > 1 takes the plain-jit GSPMD tensor-parallel route:
+      the fused Pallas block AND the Pallas attention kernel have no SPMD
+      partitioning rule (GSPMD would silently gather the batch around
+      them), so both gate off loudly to their XLA paths, and the frozen
+      tower params TP-place (Megatron-style MLP split).
+    """
+    prefix = f"{label} " if label else ""
+    if jax.device_count() == 1 and cfg.TPU.MESH.MODEL > 1:
+        print(
+            f"WARNING: TPU.MESH.MODEL={cfg.TPU.MESH.MODEL} requested "
+            "but only one device is visible; running un-sharded"
+        )
+        return None, False, clip_params, block_fn, attn_fn
+    if jax.device_count() <= 1 or (
+        cfg.TPU.MESH.DATA == 1 and cfg.TPU.MESH.MODEL <= 1
+    ):
+        return None, False, clip_params, block_fn, attn_fn
+
+    mesh = build_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
+    if dict(mesh.shape).get("model", 1) <= 1:
+        print(f"{prefix}data-parallel mesh: {dict(mesh.shape)}")
+        return mesh, False, clip_params, block_fn, attn_fn
+
+    gated = []
+    if block_fn is not None:
+        block_fn = None
+        gated.append("block")
+    if attn_fn is not attention_xla:
+        attn_fn = attention_xla
+        gated.append("attention")
+    if gated:
+        print(
+            f"{prefix}model-parallel mesh (model="
+            f"{dict(mesh.shape)['model']}): routing the fused "
+            f"{' + '.join(gated)} kernel(s) to the XLA path — Pallas "
+            "kernels have no SPMD partitioning rule (docs/DESIGN.md)"
+        )
+    from ovmr_tpu.parallel import place_tower_params
+
+    clip_params = place_tower_params(mesh, clip_params)
+    print(
+        f"{prefix}tensor-parallel mesh: {dict(mesh.shape)} "
+        "(plain jit GSPMD)"
+    )
+    return mesh, True, clip_params, block_fn, attn_fn
+
+
 def make_feature_extractor(
     clip_cfg, attn_fn, dtype, mean, std, batch_size, mesh=None,
     unit_norm=True, block_fn=None,
@@ -106,6 +164,13 @@ def make_feature_extractor(
             "block path (Pallas kernels have no SPMD partitioning rule)"
         )
         block_fn = None
+    if tp and attn_fn is not attention_xla:
+        print(
+            "Model-parallel mesh: eval encode routes attention to the XLA "
+            "path (the Pallas attention kernel has no SPMD partitioning "
+            "rule)"
+        )
+        attn_fn = attention_xla
 
     # with a mesh, every batch pads up to a multiple of the 'data' axis (the
     # only axis the batch shards over) so the single compiled program always
@@ -488,59 +553,30 @@ class MM_CLS_OP(TrainerBase):
                 std=tuple(cfg.INPUT.PIXEL_STD),
                 out_dtype=self.dtype,
             )
-        # mesh-parallel placement whenever more than one device is visible;
-        # DATA=1 alone opts out, but pure TP (DATA=1, MODEL>1) still needs
-        # the mesh so place_tower_params and the GSPMD route engage
-        self.mesh = None
+        # mesh-parallel placement whenever more than one device is visible
+        # (shared policy: setup_trainer_mesh — TP gates the Pallas block
+        # AND attention kernels to XLA and TP-places the tower params)
         self.train_step_sharded = None
-        if jax.device_count() == 1 and cfg.TPU.MESH.MODEL > 1:
-            # loud, not silent: a TP config on a single-chip host runs
-            # un-sharded — the user should not believe TP is active
-            print(
-                f"WARNING: TPU.MESH.MODEL={cfg.TPU.MESH.MODEL} requested "
-                "but only one device is visible; running un-sharded"
+        (self.mesh, self._tp, self.clip_params, self.block_fn,
+         self.attn_fn) = setup_trainer_mesh(
+            cfg, self.clip_params, self.block_fn, self.attn_fn
+        )
+        if self.mesh is not None and not self._tp:
+            # explicit shard_map step: classifiers all_gather over ICI,
+            # grads pmean, fused Pallas kernels per chip (pallas_call
+            # has no GSPMD rule, so plain jit couldn't keep them
+            # sharded)
+            from ovmr_tpu.engine.train_step import make_sharded_train_step
+
+            self.train_step_sharded = make_sharded_train_step(
+                self.clip_cfg,
+                self.optimizer,
+                self.mesh,
+                dropout=0.1,
+                attn_fn=self.attn_fn,
+                augment=augment,
+                block_fn=self.block_fn,
             )
-        if jax.device_count() > 1 and (
-            cfg.TPU.MESH.DATA != 1 or cfg.TPU.MESH.MODEL > 1
-        ):
-            self.mesh = build_mesh(cfg.TPU.MESH.DATA, cfg.TPU.MESH.MODEL)
-            print(f"Data-parallel mesh: {dict(self.mesh.shape)}")
-            if dict(self.mesh.shape).get("model", 1) > 1:
-                # tensor parallelism is the GSPMD route: the fused Pallas
-                # kernels have no SPMD partitioning rule, so towers go
-                # through the XLA block path (loudly), tower params are
-                # TP-placed (Megatron-style MLP split), and every program
-                # below runs under plain jit — XLA partitions the tower
-                # matmuls over 'model' and the batch/class axes over 'data'
-                if self.block_fn is not None:
-                    print(
-                        "Model-parallel mesh (model="
-                        f"{dict(self.mesh.shape)['model']}): routing towers "
-                        "to the XLA block path — the fused Pallas kernels "
-                        "have no SPMD partitioning rule (docs/DESIGN.md)"
-                    )
-                    self.block_fn = None
-                from ovmr_tpu.parallel import place_tower_params
-
-                self.clip_params = place_tower_params(
-                    self.mesh, self.clip_params
-                )
-            else:
-                # explicit shard_map step: classifiers all_gather over ICI,
-                # grads pmean, fused Pallas kernels per chip (pallas_call
-                # has no GSPMD rule, so plain jit couldn't keep them
-                # sharded)
-                from ovmr_tpu.engine.train_step import make_sharded_train_step
-
-                self.train_step_sharded = make_sharded_train_step(
-                    self.clip_cfg,
-                    self.optimizer,
-                    self.mesh,
-                    dropout=0.1,
-                    attn_fn=self.attn_fn,
-                    augment=augment,
-                    block_fn=self.block_fn,
-                )
         # single-program step: single chip, and the fallback for ragged
         # batches whose class count doesn't divide the mesh (XLA block
         # there — GSPMD would gather around Pallas kernels)

@@ -131,7 +131,41 @@ def test_coop_tp_step_matches_single_program(tmp_path, capsys):
     }
     summary = t_tp.forward_backward(ragged)
     assert np.isfinite(summary["loss"])
-    assert "replicates over 'data'" in capsys.readouterr().out
+    assert "runs replicated over 'data'" in capsys.readouterr().out
+
+
+def test_coop_data_mesh_ragged_fallback(tmp_path, capsys):
+    """Data-parallel route (model=1): a batch divisible by the data axis
+    (4) but NOT the device count (8) still takes the shard_map step
+    warning-free; a ragged batch falls back to the replicated single
+    program with a loud warning."""
+    from ovmr_tpu.engine import register_all_trainers
+    from ovmr_tpu.engine.trainer import build_trainer
+
+    register_all_trainers()
+    c = base_cfg(tmp_path, "dp4")
+    c.TPU.MESH.DATA = 4
+    t = build_trainer(c)
+    assert t.mesh is not None and not t._tp
+    assert dict(t.mesh.shape) == {"data": 4, "model": 1}
+
+    batch = next(iter(t.train_loader))
+    clean = {
+        "img": np.asarray(batch["img"])[:12],
+        "label": np.asarray(batch["label"])[:12],
+    }
+    capsys.readouterr()
+    summary = t.forward_backward(clean)
+    assert np.isfinite(summary["loss"])
+    assert "WARNING" not in capsys.readouterr().out
+
+    ragged = {
+        "img": np.asarray(batch["img"])[:6],
+        "label": np.asarray(batch["label"])[:6],
+    }
+    summary = t.forward_backward(ragged)
+    assert np.isfinite(summary["loss"])
+    assert "runs replicated over 'data'" in capsys.readouterr().out
 
 
 def test_coop_tp_single_device_warns(tmp_path, capsys, monkeypatch):

@@ -129,6 +129,71 @@ def test_eval_batch_pads_to_data_axis_not_device_count(capsys):
     assert feats.shape[0] == 4 and np.isfinite(feats).all()
 
 
+def test_setup_trainer_mesh_gates_block_and_attention(capsys):
+    """The shared mesh policy gates BOTH Pallas kernels (block and
+    attention) off under a model axis — neither has an SPMD partitioning
+    rule, and a silent gather around either defeats the requested TP."""
+    import jax
+
+    from ovmr_tpu.engine.trainer import setup_trainer_mesh
+    from ovmr_tpu.models import clip as jclip
+    from ovmr_tpu.ops.layers import attention_xla
+
+    def fake_pallas_attn(*a, **k):
+        raise AssertionError("Pallas attention must be gated off under TP")
+
+    def fake_block_fn(*a, **k):
+        raise AssertionError("Pallas block_fn must be gated off under TP")
+
+    c = get_cfg_default()
+    c.TPU.MESH.DATA = 4
+    c.TPU.MESH.MODEL = 2
+    params = jclip.init_params(jax.random.PRNGKey(0), jclip.TINY)
+    mesh, tp, placed, block_fn, attn_fn = setup_trainer_mesh(
+        c, params, fake_block_fn, fake_pallas_attn
+    )
+    assert tp and dict(mesh.shape) == {"data": 4, "model": 2}
+    assert block_fn is None and attn_fn is attention_xla
+    out = capsys.readouterr().out
+    assert "block + attention" in out and "no SPMD partitioning rule" in out
+    leaf = placed["visual"]["blocks"]["c_fc_w"]
+    assert "model" in str(leaf.sharding.spec)
+
+    # data-parallel mesh (model=1): kernels pass through untouched
+    c2 = get_cfg_default()
+    c2.TPU.MESH.DATA = 4
+    mesh2, tp2, _, block2, attn2 = setup_trainer_mesh(
+        c2, params, fake_block_fn, fake_pallas_attn
+    )
+    assert mesh2 is not None and not tp2
+    assert block2 is fake_block_fn and attn2 is fake_pallas_attn
+
+
+def test_feature_extractor_gates_pallas_attention(capsys):
+    """A Pallas attn_fn passed alongside a model-parallel mesh is routed
+    to the XLA path with a loud log line, and the encode still runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ovmr_tpu.engine.trainer import make_feature_extractor
+    from ovmr_tpu.models import clip as jclip
+    from ovmr_tpu.parallel import build_mesh
+
+    def fake_pallas_attn(*a, **k):
+        raise AssertionError("Pallas attention must be gated off under TP")
+
+    cfg = jclip.TINY
+    params = jclip.init_params(jax.random.PRNGKey(0), cfg)
+    encode = make_feature_extractor(
+        cfg, fake_pallas_attn, jnp.float32,
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), batch_size=8,
+        mesh=build_mesh(data=4, model=2),
+    )
+    assert "routes attention to the XLA" in capsys.readouterr().out
+    feats = encode(params, np.zeros((8, 3, 32, 32), np.float32))
+    assert np.isfinite(feats).all()
+
+
 def test_feature_extractor_gates_pallas_loudly(capsys):
     """A block_fn passed alongside a model-parallel mesh is refused with a
     loud log line (Pallas kernels have no SPMD partitioning rule)."""
