@@ -15,7 +15,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ovmr_tpu.engine.trainer import TRAINER_REGISTRY, TrainerBase, load_or_init_clip, _dtype_from_cfg
+from ovmr_tpu.engine.trainer import (
+    TRAINER_REGISTRY,
+    TrainerBase,
+    _dtype_from_cfg,
+    load_or_init_clip,
+    setup_trainer_mesh,
+)
 from ovmr_tpu.models import clip as jclip
 from ovmr_tpu.ops.attention import make_attn_fn
 from ovmr_tpu.ops.layers import l2_normalize
@@ -42,6 +48,14 @@ class ZeroshotCLIP(TrainerBase):
         clip_params, self.clip_cfg = load_or_init_clip(cfg)
         self.clip_params = jclip.cast_params(
             jax.tree_util.tree_map(jnp.asarray, clip_params), self.dtype
+        )
+        # same mesh policy as the training trainers: eval encode shards
+        # over 'data' (shard_map keeps per-chip Pallas); model>1 TP-places
+        # the towers and gates the Pallas kernels to XLA
+        (self.mesh, self._tp, self.clip_params, self.block_fn,
+         self.attn_fn) = setup_trainer_mesh(
+            cfg, self.clip_params, self.block_fn, self.attn_fn,
+            label="ZeroshotCLIP",
         )
 
         classnames = [c.replace("_", " ") for c in self.dm.dataset.classnames]
@@ -75,6 +89,7 @@ class ZeroshotCLIP(TrainerBase):
                 self.clip_cfg, self.attn_fn, self.dtype,
                 cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
                 cfg.DATALOADER.TEST.BATCH_SIZE,
+                mesh=self.mesh,
                 block_fn=self.block_fn,
             )
         print("(eval mode: zero-shot)")

@@ -61,6 +61,36 @@ def test_zeroshot_clip2_ensemble(tmp):
     assert 0.0 <= acc <= 100.0
 
 
+def test_zeroshot_mesh_matches_single_program(tmp):
+    """ZeroshotCLIP honors TPU.MESH: eval encode shards over 'data'
+    (default MESH.DATA=-1 -> data=8 on the virtual mesh) and produces the
+    same logits as the MESH.DATA=1 single program."""
+    from ovmr_tpu.engine.trainer import build_trainer
+
+    cfg_mesh = base_cfg(tmp, "ZeroshotCLIP")
+    cfg_mesh.OUTPUT_DIR = cfg_mesh.OUTPUT_DIR + "_mesh"
+    os.makedirs(cfg_mesh.OUTPUT_DIR, exist_ok=True)
+    cfg_one = base_cfg(tmp, "ZeroshotCLIP")
+    cfg_one.OUTPUT_DIR = cfg_one.OUTPUT_DIR + "_one"
+    cfg_one.TPU.MESH.DATA = 1
+    os.makedirs(cfg_one.OUTPUT_DIR, exist_ok=True)
+
+    t_mesh = build_trainer(cfg_mesh)
+    t_one = build_trainer(cfg_one)
+    assert t_mesh.mesh is not None and t_one.mesh is None
+    np.testing.assert_allclose(
+        t_mesh.text_classifier, t_one.text_classifier, atol=1e-6
+    )
+    t_mesh.prepare_test()
+    t_one.prepare_test()
+    batch = next(iter(t_one.dm.test_loader))
+    np.testing.assert_allclose(
+        t_mesh.model_inference(batch), t_one.model_inference(batch),
+        atol=2e-5,
+        err_msg="mesh-sharded zero-shot eval diverged from single program",
+    )
+
+
 def test_coop_trainer(tmp):
     from ovmr_tpu.engine.trainer import build_trainer
 
