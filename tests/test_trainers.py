@@ -65,7 +65,10 @@ def test_zeroshot_mesh_matches_single_program(tmp):
     """ZeroshotCLIP honors TPU.MESH: eval encode shards over 'data'
     (default MESH.DATA=-1 -> data=8 on the virtual mesh) and produces the
     same logits as the MESH.DATA=1 single program."""
+    from ovmr_tpu.engine import register_all_trainers
     from ovmr_tpu.engine.trainer import build_trainer
+
+    register_all_trainers()
 
     cfg_mesh = base_cfg(tmp, "ZeroshotCLIP")
     cfg_mesh.OUTPUT_DIR = cfg_mesh.OUTPUT_DIR + "_mesh"
@@ -88,6 +91,25 @@ def test_zeroshot_mesh_matches_single_program(tmp):
         t_mesh.model_inference(batch), t_one.model_inference(batch),
         atol=2e-5,
         err_msg="mesh-sharded zero-shot eval diverged from single program",
+    )
+
+    # TP mesh (data=4 x model=2): towers TP-placed, GSPMD encode — same
+    # numbers again
+    cfg_tp = base_cfg(tmp, "ZeroshotCLIP")
+    cfg_tp.OUTPUT_DIR = cfg_tp.OUTPUT_DIR + "_tp"
+    cfg_tp.TPU.MESH.DATA = 4
+    cfg_tp.TPU.MESH.MODEL = 2
+    os.makedirs(cfg_tp.OUTPUT_DIR, exist_ok=True)
+    t_tp = build_trainer(cfg_tp)
+    assert t_tp._tp and dict(t_tp.mesh.shape) == {"data": 4, "model": 2}
+    np.testing.assert_allclose(
+        t_tp.text_classifier, t_one.text_classifier, atol=2e-5
+    )
+    t_tp.prepare_test()
+    np.testing.assert_allclose(
+        t_tp.model_inference(batch), t_one.model_inference(batch),
+        atol=2e-4,
+        err_msg="TP zero-shot eval diverged from single program",
     )
 
 
