@@ -220,7 +220,7 @@ class CoOp(TrainerBase):
         )
         if self.mesh is not None and not self._tp:
             from jax.sharding import PartitionSpec as P
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
 
             @partial(jax.jit, static_argnames=("prompt_ind",))
             def sharded_step(params, opt_state, clip_params, images,
@@ -231,7 +231,7 @@ class CoOp(TrainerBase):
                     mesh=self.mesh,
                     in_specs=(P(), P(), P(), P("data"), P("data")),
                     out_specs=(P(), P(), P()),
-                    check_rep=False,
+                    check_vma=False,
                 )
                 return fn(params, opt_state, clip_params, images, labels)
 

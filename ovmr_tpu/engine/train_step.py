@@ -175,7 +175,7 @@ def make_sharded_train_step(
     vis_tokens, rng, split_point) taking GLOBAL arrays; images et al. may be
     pre-placed with a 'data' sharding or passed as host arrays.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_dev = mesh.shape["data"]
@@ -268,7 +268,7 @@ def make_sharded_train_step(
                 P(), P(),  # vis_tokens, rng
             ),
             out_specs=(P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(
             agg_params, opt_state, clip_params, images, ptok, eot,

@@ -207,7 +207,7 @@ def make_feature_extractor(
         # (not plain jit) is what keeps the Pallas kernels per-chip —
         # pallas_call has no SPMD partitioning rule, so under plain jit
         # GSPMD would all-gather the batch around it
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def smap(fn):
@@ -217,7 +217,7 @@ def make_feature_extractor(
                     mesh=mesh,
                     in_specs=(P(), P("data")),
                     out_specs=P("data"),
-                    check_rep=False,
+                    check_vma=False,
                 )
             )
 
@@ -870,7 +870,7 @@ class MM_CLS_OP(TrainerBase):
             # plain jit lets XLA shard the class chunks over 'data' from
             # the operand placement (_place_classes)
             return jax.jit(fn)
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def wrapper(*args):
@@ -880,7 +880,7 @@ class MM_CLS_OP(TrainerBase):
                 mesh=self.mesh,
                 in_specs=tuple([P()] * n_replicated + [P("data")] * n_data),
                 out_specs=P("data"),
-                check_rep=False,
+                check_vma=False,
             )(*args)
 
         return jax.jit(wrapper)

@@ -202,7 +202,7 @@ def streaming_fusion_weights_sharded(
     21k) replicate, riding ICI once.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     shards = dict(mesh.shape)[axis]
     m, d = flat_feats.shape
@@ -236,7 +236,7 @@ def streaming_fusion_weights_sharded(
         mesh=mesh,
         in_specs=(row, row, row, rep, rep, rep),
         out_specs=rep,
-        check_rep=False,
+        check_vma=False,
     )
     # place the row-sharded inputs explicitly so the (possibly eager) call
     # doesn't reshard from a committed single device
