@@ -114,3 +114,48 @@ class Synthetic(DatasetBase):
             train, val, test, subsample=cfg.DATASET.SUBSAMPLE_CLASSES
         )
         super().__init__(train_x=train, val=val, test=test, eval_set=train)
+
+
+@DATASET_REGISTRY.register()
+class SyntheticSSL(Synthetic):
+    """Semi-supervised variant: the train split is divided into a labeled
+    part (``DATASET.NUM_LABELED`` items, default half) and an unlabeled
+    ``train_u`` pool — the shape of the reference SSL datasets
+    (``dassl/data/datasets/ssl/cifar.py``)."""
+
+    def __init__(self, cfg, **kwargs):
+        super().__init__(cfg, **kwargs)
+        full = self.train_x
+        n_labeled = cfg.DATASET.NUM_LABELED
+        if n_labeled <= 0:
+            n_labeled = len(full) // 2
+        self.train_x = full[:n_labeled]
+        self.train_u = [
+            Datum(impath=d.impath, label=d.label, classname=d.classname)
+            for d in (full if cfg.DATASET.ALL_AS_UNLABELED else full[n_labeled:])
+        ]
+        self.eval_set = self.train_x
+
+
+@DATASET_REGISTRY.register()
+class SyntheticDA(Synthetic):
+    """Domain-adaptation variant: train_x becomes the source domains
+    (domain ids cycle over ``len(DATASET.SOURCE_DOMAINS)`` or 2) and the
+    val split doubles as the unlabeled target pool ``train_u`` (domain =
+    n_sources), mirroring the reference DA datasets' source/target split
+    (``dassl/data/datasets/da/``)."""
+
+    def __init__(self, cfg, **kwargs):
+        super().__init__(cfg, **kwargs)
+        n_dom = max(len(cfg.DATASET.SOURCE_DOMAINS), 2)
+        self.train_x = [
+            Datum(impath=d.impath, label=d.label, domain=i % n_dom,
+                  classname=d.classname)
+            for i, d in enumerate(self.train_x)
+        ]
+        self.train_u = [
+            Datum(impath=d.impath, label=d.label, domain=n_dom,
+                  classname=d.classname)
+            for d in self.val
+        ]
+        self.eval_set = self.train_x

@@ -194,8 +194,13 @@ class DatasetBase:
     ``eval_set`` is the exemplar source for classifier generation — the
     (few-shot) train split by default."""
 
-    def __init__(self, train_x=None, val=None, test=None, eval_set=None):
+    def __init__(
+        self, train_x=None, val=None, test=None, eval_set=None, train_u=None
+    ):
         self.train_x = train_x or []
+        # unlabeled split: target-domain data (DA) or unlabeled pool (SSL)
+        # (reference ``base_dataset.py`` train_u)
+        self.train_u = train_u or []
         self.val = val or []
         self.test = test or []
         self.eval_set = eval_set if eval_set is not None else self.train_x

@@ -45,6 +45,7 @@ class HostDataLoader:
         text_only: bool = False,
         return_img0: bool = False,
         img0_transform=None,
+        transform2=None,
     ):
         self.data_source = data_source
         self.sampler = sampler
@@ -60,6 +61,10 @@ class HostDataLoader:
         # un-augmented tensorized image under "img0"
         self.return_img0 = return_img0
         self.img0_transform = img0_transform
+        # second (strong) transform -> "img2" in every batch; the torch
+        # DatasetWrapper gets this from a custom_tfm_train list
+        # (FixMatch/DAEL/CDAC weak+strong pairs)
+        self.transform2 = transform2
         # K>1 applies the (stochastic) transform K times per image and emits
         # the variants adjacently: img [B*K, ...], label repeated K times
         # (reference K_TRANSFORMS, ``data_manager.py:334-344``)
@@ -96,6 +101,24 @@ class HostDataLoader:
             ]
         else:
             arrs = [self.transform(img) for _ in range(self.k_transforms)]
+        img2 = None
+        if self.transform2 is not None:
+            # the strong transform follows K_TRANSFORMS exactly like the
+            # primary one (torch DatasetWrapper applies K to EVERY listed
+            # transform; CDAC consumes two strong views)
+            if getattr(self.transform2, "stochastic", False):
+                img2 = [
+                    self.transform2(
+                        img,
+                        rng=random.Random(
+                            hash((self._seed, epoch, int(position), "s", k))
+                            & 0xFFFFFFFF
+                        ),
+                    )
+                    for k in range(self.k_transforms)
+                ]
+            else:
+                img2 = [self.transform2(img) for _ in range(self.k_transforms)]
         img0 = None
         if self.return_img0:
             tfm0 = self.img0_transform
@@ -104,7 +127,7 @@ class HostDataLoader:
                 if tfm0 is not None
                 else np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
             )
-        return arrs, item.label, item.impath, img0
+        return arrs, item.label, item.impath, img0, item.domain, img2
 
     def __iter__(self) -> Iterator[Dict]:
         rng = np.random.default_rng(self._seed + self._epoch)
@@ -148,6 +171,10 @@ class HostDataLoader:
                     "label": labels,
                     "impath": [r[2] for r in results for _ in range(k)],
                     "index": np.repeat(np.asarray(batch_idx, np.int64), k),
+                    # source-domain index (DA/DG trainers; 0 elsewhere)
+                    "domain": np.repeat(
+                        np.asarray([r[4] for r in results], np.int32), k
+                    ),
                 }
                 if self.return_img0:
                     out["img0"] = np.repeat(
@@ -155,11 +182,20 @@ class HostDataLoader:
                         k,
                         axis=0,
                     )
+                if self.transform2 is not None:
+                    out["img2"] = np.stack(
+                        [arr for r in results for arr in r[5]]
+                    ).astype(np.float32)
                 yield out
 
 
 class DataManager:
-    def __init__(self, cfg, dataset: Optional[DatasetBase] = None):
+    def __init__(
+        self,
+        cfg,
+        dataset: Optional[DatasetBase] = None,
+        tfm_train_strong=None,
+    ):
         self.cfg = cfg
         self.dataset = dataset if dataset is not None else build_dataset(cfg)
 
@@ -196,7 +232,35 @@ class DataManager:
             text_only=bool(cfg.TEXT_ONLY),
             return_img0=bool(cfg.DATALOADER.RETURN_IMG0),
             img0_transform=img0_tfm,
+            transform2=tfm_train_strong,
         ) if ds.train_x else None
+
+        # unlabeled loader (DA target domain / SSL unlabeled pool); the
+        # reference clones the TRAIN_X settings when SAME_AS_X
+        # (``data_manager.py`` train_loader_u). drop_last keeps batch
+        # shapes static so the jitted XU steps compile once.
+        u_cfg = (
+            cfg.DATALOADER.TRAIN_X
+            if cfg.DATALOADER.TRAIN_U.SAME_AS_X
+            else cfg.DATALOADER.TRAIN_U
+        )
+        self.train_loader_u = HostDataLoader(
+            ds.train_u,
+            build_sampler(
+                u_cfg.SAMPLER,
+                ds.train_u,
+                u_cfg.BATCH_SIZE,
+                u_cfg.N_INS,
+                u_cfg.N_DOMAIN,
+            ),
+            tfm_train,
+            u_cfg.BATCH_SIZE,
+            seed=seed + 1,  # decorrelated from the labeled stream
+            num_workers=nw,
+            drop_last=len(ds.train_u) >= u_cfg.BATCH_SIZE,
+            k_transforms=cfg.DATALOADER.K_TRANSFORMS,
+            transform2=tfm_train_strong,
+        ) if getattr(ds, "train_u", None) else None
 
         self.val_loader = HostDataLoader(
             ds.val,
@@ -235,6 +299,8 @@ class DataManager:
 
         self.num_classes = ds.num_classes
         self.lab2cname = ds.lab2cname
+        # reference dm.num_source_domains (dassl data_manager.py)
+        self.num_source_domains = max(len(cfg.DATASET.SOURCE_DOMAINS), 1)
 
     def show_dataset_summary(self):
         cfg = self.cfg

@@ -272,12 +272,18 @@ class TrainerBase:
         self.epoch = 0
         self.best_result = -np.inf
 
-        self.dm = DataManager(cfg)
+        self.dm = self.build_data_manager()
         self.dm.show_dataset_summary()
         self.evaluator = build_evaluator(cfg, lab2cname=self.dm.lab2cname)
         self.build_model()
 
     # subclass hooks ------------------------------------------------------
+    def build_data_manager(self):
+        """Default data plumbing; trainers needing custom train transforms
+        (e.g. FixMatch's weak+strong pairs) override this (reference
+        ``build_data_loader`` re-implementations)."""
+        return DataManager(self.cfg)
+
     def build_model(self):
         raise NotImplementedError
 

@@ -2,10 +2,9 @@
 
 Key names match the reference so its yaml files merge unchanged
 (``Dassl.pytorch/dassl/config/defaults.py:1-313`` + the OVMR extensions from
-``train.py:100-132``). Keys only consumed by vendored Dassl subsystems the
-reference never exercises (DA/DG/SSL trainer hyper-params) are omitted; a
-``TPU`` section is added for mesh/precision policy, which has no reference
-counterpart.
+``train.py:100-132``), including the DA/DG/SSL trainer hyper-param families
+consumed by ``ovmr_tpu.engine.{da,dg,ssl}``. A ``TPU`` section is added for
+mesh/precision policy, which has no reference counterpart.
 """
 
 from __future__ import annotations
@@ -157,6 +156,70 @@ def get_cfg_default() -> CfgNode:
     c.TRAINER.COCOOP.N_CTX = 16
     c.TRAINER.COCOOP.CTX_INIT = ""
     c.TRAINER.COCOOP.PREC = "fp16"
+
+    # ---- DA trainer hyper-params (reference defaults.py:230-260) ---------
+    c.TRAINER.MCD = CfgNode()
+    c.TRAINER.MCD.N_STEP_F = 4  # number of steps to train F
+    c.TRAINER.MME = CfgNode()
+    c.TRAINER.MME.LMDA = 0.1  # weight for the entropy loss
+    c.TRAINER.CDAC = CfgNode()
+    c.TRAINER.CDAC.CLASS_LR_MULTI = 10
+    c.TRAINER.CDAC.RAMPUP_COEF = 30
+    c.TRAINER.CDAC.RAMPUP_ITRS = 1000
+    c.TRAINER.CDAC.TOPK_MATCH = 5
+    c.TRAINER.CDAC.P_THRESH = 0.95
+    c.TRAINER.CDAC.STRONG_TRANSFORMS = ()
+    c.TRAINER.SE = CfgNode()
+    c.TRAINER.SE.EMA_ALPHA = 0.999
+    c.TRAINER.SE.CONF_THRE = 0.95
+    c.TRAINER.SE.RAMPUP = 300
+    c.TRAINER.M3SDA = CfgNode()
+    c.TRAINER.M3SDA.LMDA = 0.5  # weight for the moment distance loss
+    c.TRAINER.M3SDA.N_STEP_F = 4  # follow MCD
+    c.TRAINER.DAEL = CfgNode()
+    c.TRAINER.DAEL.WEIGHT_U = 0.5  # weight on the unlabeled loss
+    c.TRAINER.DAEL.CONF_THRE = 0.95
+    c.TRAINER.DAEL.STRONG_TRANSFORMS = ()
+
+    # ---- DG trainer hyper-params (reference defaults.py:262-289) ---------
+    c.TRAINER.CROSSGRAD = CfgNode()
+    c.TRAINER.CROSSGRAD.EPS_F = 1.0
+    c.TRAINER.CROSSGRAD.EPS_D = 1.0
+    c.TRAINER.CROSSGRAD.ALPHA_F = 0.5
+    c.TRAINER.CROSSGRAD.ALPHA_D = 0.5
+    c.TRAINER.DDAIG = CfgNode()
+    c.TRAINER.DDAIG.G_ARCH = ""  # generator architecture (NETWORK_REGISTRY)
+    c.TRAINER.DDAIG.LMDA = 0.3  # perturbation weight
+    c.TRAINER.DDAIG.CLAMP = False
+    c.TRAINER.DDAIG.CLAMP_MIN = -1.0
+    c.TRAINER.DDAIG.CLAMP_MAX = 1.0
+    c.TRAINER.DDAIG.WARMUP = 0
+    c.TRAINER.DDAIG.ALPHA = 0.5
+    c.TRAINER.DAELDG = CfgNode()
+    c.TRAINER.DAELDG.WEIGHT_U = 0.5
+    c.TRAINER.DAELDG.CONF_THRE = 0.95
+    c.TRAINER.DAELDG.STRONG_TRANSFORMS = ()
+    c.TRAINER.DOMAINMIX = CfgNode()
+    c.TRAINER.DOMAINMIX.TYPE = "crossdomain"
+    c.TRAINER.DOMAINMIX.ALPHA = 1.0
+    c.TRAINER.DOMAINMIX.BETA = 1.0
+
+    # ---- SSL trainer hyper-params (reference defaults.py:291-312) --------
+    c.TRAINER.ENTMIN = CfgNode()
+    c.TRAINER.ENTMIN.LMDA = 1e-3
+    c.TRAINER.MEANTEACHER = CfgNode()
+    c.TRAINER.MEANTEACHER.WEIGHT_U = 1.0
+    c.TRAINER.MEANTEACHER.EMA_ALPHA = 0.999
+    c.TRAINER.MEANTEACHER.RAMPUP = 5  # epochs to ramp up loss_u
+    c.TRAINER.MIXMATCH = CfgNode()
+    c.TRAINER.MIXMATCH.WEIGHT_U = 100.0
+    c.TRAINER.MIXMATCH.TEMP = 2.0
+    c.TRAINER.MIXMATCH.MIXUP_BETA = 0.75
+    c.TRAINER.MIXMATCH.RAMPUP = 20000  # steps to ramp up loss_u
+    c.TRAINER.FIXMATCH = CfgNode()
+    c.TRAINER.FIXMATCH.WEIGHT_U = 1.0
+    c.TRAINER.FIXMATCH.CONF_THRE = 0.95
+    c.TRAINER.FIXMATCH.STRONG_TRANSFORMS = ()
 
     # ---- OVMR top-level extensions (reference train.py:100-132) --------------
     c.FS_CLASSIFIER = "metaopt"
