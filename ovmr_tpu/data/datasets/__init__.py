@@ -1,3 +1,11 @@
 """Importing this package registers every bundled dataset loader."""
 
-from . import detection, fine_grained, imagenet, synthetic  # noqa: F401
+from . import (  # noqa: F401
+    da,
+    detection,
+    dg,
+    fine_grained,
+    imagenet,
+    ssl,
+    synthetic,
+)

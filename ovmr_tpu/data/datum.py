@@ -194,6 +194,9 @@ class DatasetBase:
     ``eval_set`` is the exemplar source for classifier generation — the
     (few-shot) train split by default."""
 
+    # valid domain names for multi-domain (DA/DG) datasets; () = single-domain
+    domains: Tuple[str, ...] = ()
+
     def __init__(
         self, train_x=None, val=None, test=None, eval_set=None, train_u=None
     ):
@@ -225,3 +228,28 @@ class DatasetBase:
         lab2cname = {l: mapping[l] for l in labels}
         classnames = [mapping[l] for l in labels]
         return lab2cname, classnames
+
+    def check_input_domains(self, source_domains, target_domains):
+        """Validate SOURCE/TARGET domain names against ``self.domains``
+        (reference ``base_dataset.py:130-142``)."""
+        if not source_domains:
+            raise ValueError("DATASET.SOURCE_DOMAINS is empty")
+        if not target_domains:
+            raise ValueError("DATASET.TARGET_DOMAINS is empty")
+        for domain in tuple(source_domains) + tuple(target_domains):
+            if domain not in self.domains:
+                raise ValueError(
+                    f"Input domain must belong to {list(self.domains)}, "
+                    f"but got [{domain}]"
+                )
+
+    @staticmethod
+    def split_dataset_by_domain(data_source):
+        """Group a list of Datum by ``domain`` (reference
+        ``base_dataset.py:233-245``)."""
+        from collections import defaultdict
+
+        output = defaultdict(list)
+        for item in data_source:
+            output[item.domain].append(item)
+        return output
