@@ -110,8 +110,11 @@ class HostDataLoader:
                 img2 = [
                     self.transform2(
                         img,
+                        # int tag (not a string): str hashes are salted
+                        # per process, which would break cross-process /
+                        # resume determinism of the strong-aug stream
                         rng=random.Random(
-                            hash((self._seed, epoch, int(position), "s", k))
+                            hash((self._seed, epoch, int(position), 1, k))
                             & 0xFFFFFFFF
                         ),
                     )
@@ -299,8 +302,14 @@ class DataManager:
 
         self.num_classes = ds.num_classes
         self.lab2cname = ds.lab2cname
-        # reference dm.num_source_domains (dassl data_manager.py)
-        self.num_source_domains = max(len(cfg.DATASET.SOURCE_DOMAINS), 1)
+        # reference dm.num_source_domains (dassl data_manager.py). When no
+        # SOURCE_DOMAINS are configured (synthetic/OVMR datasets), infer the
+        # count from the actual train_x domain ids so domain classifiers /
+        # stacked experts are sized to the labels they will see
+        n_src = len(cfg.DATASET.SOURCE_DOMAINS)
+        if n_src == 0:
+            n_src = max((d.domain for d in ds.train_x), default=0) + 1
+        self.num_source_domains = max(n_src, 1)
 
     def show_dataset_summary(self):
         cfg = self.cfg

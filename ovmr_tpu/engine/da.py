@@ -170,12 +170,16 @@ class ADDA(TrainerXU):
         critic, tx_c = self.critic, self.tx_c
         source_state = self.source_state
 
-        def zero_classifier(grads):
-            # open_specified_layers(["backbone", "head"]): classifier frozen
+        def zero_classifier(tree):
+            # open_specified_layers(["backbone", "head"]): classifier frozen.
+            # Applied to the optimizer UPDATES (not just grads) — the chain
+            # includes weight decay, which would otherwise keep shrinking
+            # the frozen source-trained classifier every step (torch skips
+            # requires_grad=False params entirely)
             return {
                 k: (jax.tree_util.tree_map(jnp.zeros_like, v)
                     if k == "classifier" else v)
-                for k, v in grads.items()
+                for k, v in tree.items()
             }
 
         @jax.jit
@@ -222,6 +226,7 @@ class ADDA(TrainerXU):
             )(state["params"])
             g_m = zero_classifier(g_m)
             upd, opt = tx.update(g_m, state["opt_state"], state["params"])
+            upd = zero_classifier(upd)
             params = optax.apply_updates(state["params"], upd)
             return (
                 {"params": params, "batch_stats": bs, "opt_state": opt},
