@@ -632,14 +632,14 @@ class SE(TrainerXU):
         k = self.cfg.DATALOADER.K_TRANSFORMS
         img = nchw_to_nhwc(batch["img"])
         img = img.reshape((img.shape[0] // k, k) + img.shape[1:])
-        return [jnp.asarray(img[:, i]) for i in range(k)]
+        return [self._shard(img[:, i]) for i in range(k)]
 
     def forward_backward_xu(self, batch_x, batch_u):
         t_cfg = self.cfg.TRAINER.SE
         global_step = self.batch_idx + self.epoch * self.num_batches
         img_x = self._split_k(batch_x)[0]
         k = self.cfg.DATALOADER.K_TRANSFORMS
-        label_x = jnp.asarray(batch_x["label"][::k])
+        label_x = self._shard(batch_x["label"][::k])
         img_u1, img_u2 = self._split_k(batch_u)
         weight_u = F.sigmoid_rampup(global_step, int(t_cfg.RAMPUP))
         ema_alpha = min(1 - 1 / (global_step + 1), float(t_cfg.EMA_ALPHA))
@@ -1019,18 +1019,18 @@ class DAEL(TrainerXU):
         self._dael_step = step
 
     def forward_backward_xu(self, batch_x, batch_u):
-        img_x = jnp.asarray(nchw_to_nhwc(batch_x["img"]))
-        img_x2 = jnp.asarray(nchw_to_nhwc(batch_x["img2"]))
+        img_x = self._shard(nchw_to_nhwc(batch_x["img"]))
+        img_x2 = self._shard(nchw_to_nhwc(batch_x["img2"]))
         label_1h = F.create_onehot(
-            jnp.asarray(batch_x["label"]), self.num_classes
+            self._shard(batch_x["label"]), self.num_classes
         )
         doms = jnp.asarray(
             np.asarray(batch_x["domain"]).reshape(
                 self.n_domain, self.split_batch
             )[:, 0]
         )
-        img_u = jnp.asarray(nchw_to_nhwc(batch_u["img"]))
-        img_u2 = jnp.asarray(nchw_to_nhwc(batch_u["img2"]))
+        img_u = self._shard(nchw_to_nhwc(batch_u["img"]))
+        img_u2 = self._shard(nchw_to_nhwc(batch_u["img2"]))
         sF, sE, metrics = self._dael_step(
             self._models["F"], self._models["E"], img_x, img_x2, label_1h,
             doms, img_u, img_u2, self.step_rng(),
@@ -1242,14 +1242,14 @@ class CDAC(TrainerXU):
         )
 
         xs = self._first_variant(batch_x["img"], k)
-        img_x = jnp.asarray(xs[:, 0])
-        label_x = jnp.asarray(batch_x["label"][::k])
+        img_x = self._shard(xs[:, 0])
+        label_x = self._shard(batch_x["label"][::k])
         us = self._first_variant(batch_u["img"], k)
-        img_u = jnp.asarray(us[:, 0])
+        img_u = self._shard(us[:, 0])
         uss = self._first_variant(batch_u["img2"], k)
-        img_us = jnp.asarray(uss[:, 0])
-        img_us2 = jnp.asarray(uss[:, 1])
-        label_u = jnp.asarray(batch_u["label"][::k])
+        img_us = self._shard(uss[:, 0])
+        img_us2 = self._shard(uss[:, 1])
+        label_u = self._shard(batch_u["label"][::k])
 
         cons_multi = (
             F.sigmoid_rampup(current_itr, int(cfg.TRAINER.CDAC.RAMPUP_ITRS))

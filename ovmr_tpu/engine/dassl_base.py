@@ -34,6 +34,7 @@ from ovmr_tpu.engine.trainer import TRAINER_REGISTRY, TrainerBase
 from ovmr_tpu.modeling import build_backbone, build_head
 from ovmr_tpu.modeling import ops as F
 from ovmr_tpu.data.prefetch import prefetch_batches
+from ovmr_tpu.parallel import batch_sharding, build_mesh, replicate, replicated
 
 
 class SimpleNet(nn.Module):
@@ -179,6 +180,32 @@ def load_init_weights(state: dict, path: str):
     return state
 
 
+def setup_dassl_mesh(cfg, label=""):
+    """Data-parallel mesh policy for the SimpleNet trainer families.
+
+    The reference's only parallelism here is single-process
+    ``nn.DataParallel`` (``dassl/engine/trainer.py`` SimpleTrainer). The
+    TPU-native equivalent: batches shard over the mesh 'data' axis, model
+    states replicate, and every jitted multi-phase step partitions under
+    GSPMD — the gradient all-reduce and GLOBAL BatchNorm statistics come
+    out of the compiler, so numerics are identical to the single-device
+    program (unlike DataParallel's per-replica BN). ``TPU.MESH.DATA == 1``
+    opts out; ``MODEL > 1`` has no tensor-parallel meaning for these small
+    CNN backbones and only warns.
+    """
+    if jax.device_count() <= 1 or cfg.TPU.MESH.DATA == 1:
+        return None
+    if cfg.TPU.MESH.MODEL > 1:
+        print(
+            f"WARNING: TPU.MESH.MODEL={cfg.TPU.MESH.MODEL} has no "
+            "tensor-parallel meaning for SimpleNet backbones; using the "
+            "data axis only"
+        )
+    mesh = build_mesh(cfg.TPU.MESH.DATA, 1)
+    print(f"{label}data-parallel mesh: {dict(mesh.shape)}")
+    return mesh
+
+
 RNG_STREAMS = ("dropout", "mixstyle")
 
 
@@ -219,6 +246,7 @@ class DasslTrainer(TrainerBase):
         seed = max(cfg.SEED, 0)
         self._rng = jax.random.PRNGKey(seed)
         self._step_count = 0
+        self.mesh = setup_dassl_mesh(cfg, label=f"{type(self).__name__}: ")
         super().__init__(cfg)
 
     # -- hooks ------------------------------------------------------------
@@ -236,9 +264,26 @@ class DasslTrainer(TrainerBase):
     # -- model registry (reference TrainerBase.register_model) ------------
     def register_model(self, name, net, state, tx=None):
         assert name not in self._models, "Found duplicate model names"
+        if self.mesh is not None:
+            # replicate the whole state pytree (params/batch_stats/
+            # opt_state) so every jitted step sees committed replicated
+            # arrays and GSPMD partitions along the sharded batch inputs
+            state = replicate(self.mesh, state)
         self._models[name] = state
         self._nets[name] = net
         self._txs[name] = tx
+
+    def _shard(self, x, axis: int = 0):
+        """Host batch array -> device. With a mesh: shard ``axis`` over
+        'data' when divisible (otherwise replicate — still correct, just
+        not distributed, e.g. a ragged final eval batch)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        x = np.asarray(x)
+        n = self.mesh.shape["data"]
+        if x.ndim and x.shape[axis] % n == 0 and x.shape[axis] > 0:
+            return jax.device_put(x, batch_sharding(self.mesh, x.ndim, axis))
+        return jax.device_put(x, replicated(self.mesh))
 
     def get_model_names(self):
         return list(self._models)
@@ -334,9 +379,9 @@ class DasslTrainer(TrainerBase):
                 )
 
     def parse_batch_train(self, batch):
-        img = jnp.asarray(nchw_to_nhwc(batch["img"]))
-        label = jnp.asarray(batch["label"])
-        domain = jnp.asarray(batch.get("domain", np.zeros_like(batch["label"])))
+        img = self._shard(nchw_to_nhwc(batch["img"]))
+        label = self._shard(batch["label"])
+        domain = self._shard(batch.get("domain", np.zeros_like(batch["label"])))
         return img, label, domain
 
     def forward_backward(self, batch):
@@ -353,13 +398,13 @@ class DasslTrainer(TrainerBase):
         device — 4x smaller transfers, identical numerics)."""
         img = batch["img"]
         if img.dtype == np.uint8:
-            x = jnp.asarray(img).astype(jnp.float32) / 255.0
+            x = self._shard(img).astype(jnp.float32) / 255.0
             if "normalize" in self.cfg.INPUT.TRANSFORMS:
                 mean = jnp.asarray(self.cfg.INPUT.PIXEL_MEAN)
                 std = jnp.asarray(self.cfg.INPUT.PIXEL_STD)
                 x = (x - mean) / std
             return x
-        return jnp.asarray(nchw_to_nhwc(img))
+        return self._shard(nchw_to_nhwc(img))
 
     def model_inference(self, batch, scale_no=0):
         x = self.eval_images(batch)
@@ -405,6 +450,8 @@ class DasslTrainer(TrainerBase):
             self._models[name]["batch_stats"] = tree["batch_stats"]
             if opt_state is not None:
                 self._models[name]["opt_state"] = opt_state
+            if self.mesh is not None:
+                self._models[name] = replicate(self.mesh, self._models[name])
             start = max(start, epoch)
         return start
 
@@ -424,6 +471,8 @@ class DasslTrainer(TrainerBase):
             )
             self._models[name]["params"] = tree["params"]
             self._models[name]["batch_stats"] = tree["batch_stats"]
+            if self.mesh is not None:
+                self._models[name] = replicate(self.mesh, self._models[name])
             print(f"Load model '{name}' from {directory} (epoch={ep})")
 
 

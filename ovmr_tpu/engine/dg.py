@@ -438,10 +438,10 @@ class DAELDG(TrainerX):
         self._daeldg_step = step
 
     def forward_backward(self, batch):
-        img = jnp.asarray(nchw_to_nhwc(batch["img"]))
-        img2 = jnp.asarray(nchw_to_nhwc(batch["img2"]))
+        img = self._shard(nchw_to_nhwc(batch["img"]))
+        img2 = self._shard(nchw_to_nhwc(batch["img2"]))
         label_1h = F.create_onehot(
-            jnp.asarray(batch["label"]), self.num_classes
+            self._shard(batch["label"]), self.num_classes
         )
         doms = jnp.asarray(
             np.asarray(batch["domain"]).reshape(
@@ -547,7 +547,7 @@ class DomainMix(TrainerX):
         domain = np.asarray(batch["domain"])
         mixed, label_a, label_b, lam = self._domain_mix(img, target, domain)
         self.state, metrics = self.train_step(
-            self.state, jnp.asarray(mixed), jnp.asarray(label_a),
-            jnp.asarray(label_b), jnp.float32(lam), self.step_rng(),
+            self.state, self._shard(mixed), self._shard(label_a),
+            self._shard(label_b), jnp.float32(lam), self.step_rng(),
         )
         return {k: float(v) for k, v in metrics.items()}

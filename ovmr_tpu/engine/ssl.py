@@ -251,18 +251,19 @@ class MixMatch(TrainerXU):
         self.train_step = step
 
     def _split_k(self, batch):
-        """[B*K, ...] adjacent-variant layout -> [K, B, ...] NHWC."""
+        """[B*K, ...] adjacent-variant layout -> [K, B, ...] NHWC
+        (batch dim 1 shards over the mesh 'data' axis)."""
         k = self.cfg.DATALOADER.K_TRANSFORMS
         img = nchw_to_nhwc(batch["img"])
         bk = img.shape[0]
         img = img.reshape((bk // k, k) + img.shape[1:])
-        return jnp.asarray(np.moveaxis(img, 1, 0))
+        return self._shard(np.moveaxis(img, 1, 0), axis=1)
 
     def forward_backward_xu(self, batch_x, batch_u):
         k = self.cfg.DATALOADER.K_TRANSFORMS
         # labeled: first augmented view only (reference batch_x["img"][0])
         img_x = self._split_k(batch_x)[0]
-        label_x = jnp.asarray(batch_x["label"][::k])
+        label_x = self._shard(batch_x["label"][::k])
         imgs_u = self._split_k(batch_u)
         global_step = self.batch_idx + self.epoch * self.num_batches
         weight_u = float(self.cfg.TRAINER.MIXMATCH.WEIGHT_U) * F.linear_rampup(
@@ -355,12 +356,12 @@ class FixMatch(TrainerXU):
         self.train_step = step
 
     def forward_backward_xu(self, batch_x, batch_u):
-        img_x = jnp.asarray(nchw_to_nhwc(batch_x["img"]))
-        img_x2 = jnp.asarray(nchw_to_nhwc(batch_x["img2"]))
-        label_x = jnp.asarray(batch_x["label"])
-        img_u = jnp.asarray(nchw_to_nhwc(batch_u["img"]))
-        img_u2 = jnp.asarray(nchw_to_nhwc(batch_u["img2"]))
-        label_u = jnp.asarray(batch_u["label"])
+        img_x = self._shard(nchw_to_nhwc(batch_x["img"]))
+        img_x2 = self._shard(nchw_to_nhwc(batch_x["img2"]))
+        label_x = self._shard(batch_x["label"])
+        img_u = self._shard(nchw_to_nhwc(batch_u["img"]))
+        img_u2 = self._shard(nchw_to_nhwc(batch_u["img2"]))
+        label_u = self._shard(batch_u["label"])
         self.state, metrics = self.train_step(
             self.state, img_x, img_x2, label_x, img_u, img_u2, label_u,
             self.step_rng(),
