@@ -153,8 +153,13 @@ class STL10(DatasetBase):
             with open(fold_file) as f:
                 str_idx = f.read().splitlines()[fold]
             # uint8 indexing is the reference's own quirk (ssl/stl10.py:63,
-            # np.fromstring(..., dtype=uint8, sep=" ") — deprecated, same math)
-            list_idx = np.array(str_idx.split(), dtype=np.uint8)
+            # np.fromstring(..., dtype=uint8, sep=" ")): indices >255 WRAP.
+            # np.array(str, dtype=uint8) would raise OverflowError on real
+            # fold files (indices run to 4999), so parse as int then cast
+            # to reproduce the wraparound exactly
+            list_idx = np.array(str_idx.split(), dtype=np.int64).astype(
+                np.uint8
+            )
 
         items = []
         for i in list_idx:

@@ -212,18 +212,24 @@ class ADDA(TrainerXU):
             )
             c_params = optax.apply_updates(c_state["params"], upd_c)
 
-            # model update: fool the (new) critic
+            # model update: fool the (new) critic. The critic's forward
+            # here runs in train mode in the reference, so its BN
+            # running-stat update is kept too
             def model_loss(params):
                 (_, feat_u), bs = apply_train(
                     net, params, state["batch_stats"], img_u, rng,
                     return_feature=True,
                 )
-                logit_ud, _ = apply_train(critic, c_params, c_bs, feat_u, rng)
-                return _bce_with_logits(logit_ud, jnp.ones_like(logit_ud)), bs
+                logit_ud, c_bs2 = apply_train(
+                    critic, c_params, c_bs, feat_u, rng
+                )
+                loss = _bce_with_logits(logit_ud, jnp.ones_like(logit_ud))
+                return loss, (bs, c_bs2)
 
-            (loss_model, bs), g_m = jax.value_and_grad(
+            (loss_model, (bs, c_bs)), g_m = jax.value_and_grad(
                 model_loss, has_aux=True
             )(state["params"])
+            c_bs = jax.lax.stop_gradient(c_bs)
             g_m = zero_classifier(g_m)
             upd, opt = tx.update(g_m, state["opt_state"], state["params"])
             upd = zero_classifier(upd)
@@ -942,10 +948,13 @@ class DAEL(TrainerXU):
 
         @jax.jit
         def step(sF, sE, img_x, img_x2, label_x1h, doms, img_u, img_u2, rng):
-            # pseudo-labels from the most confident expert (frozen nets)
-            feat_u0, _ = apply_train(
+            # pseudo-labels from the most confident expert (frozen nets;
+            # the reference's no_grad train forward still advances F's BN
+            # running stats — keep them for the update forwards below)
+            feat_u0, bs_pseudo = apply_train(
                 netF, sF["params"], sF["batch_stats"], img_u, rng
             )
+            bs_pseudo = jax.lax.stop_gradient(bs_pseudo)
             pred_u = all_experts(sE["params"], feat_u0)  # [K, B, C]
             experts_max_p = pred_u.max(2)  # [K, B]
             experts_max_idx = pred_u.argmax(2)  # [K, B]
@@ -967,13 +976,20 @@ class DAEL(TrainerXU):
                 loss_x = jnp.float32(0)
                 loss_cr = jnp.float32(0)
                 acc_x = jnp.float32(0)
-                bs = sF["batch_stats"]
+                # reference forward order after the pseudo forward: ALL
+                # weak source views, ALL strong source views, then the
+                # strong target view (BN stats are order-dependent)
+                bs = bs_pseudo
+                feats, feats2 = [], []
+                for g in range(n_domain):
+                    f, bs = apply_train(netF, pF, bs, imgs[g], rng)
+                    feats.append(f)
+                for g in range(n_domain):
+                    f2, bs = apply_train(netF, pF, bs, imgs2[g], rng)
+                    feats2.append(f2)
                 feat_u2, bs = apply_train(netF, pF, bs, img_u2, rng)
                 for g in range(n_domain):
-                    feat_i, bs = apply_train(netF, pF, bs, imgs[g], rng)
-                    feat2_i, bs = apply_train(netF, pF, bs, imgs2[g], rng)
-                    d_g = doms[g]
-                    pred_i = expert(pE, d_g, feat_i)
+                    pred_i = expert(pE, doms[g], feats[g])
                     loss_x += (
                         -labels[g] * jnp.log(pred_i + 1e-5)
                     ).sum(1).mean()
@@ -982,11 +998,12 @@ class DAEL(TrainerXU):
                         pred_i.argmax(1) == labels[g].argmax(1)
                     ).mean()
                     # consistency: mean of the OTHER domains' experts on
-                    # the strong view
+                    # the strong view (h == g skipped outright)
                     cr = jnp.zeros_like(pred_i)
                     for h in range(n_domain):
-                        pred_h = expert(pE, doms[h], feat2_i)
-                        cr = cr + jnp.where(h == g, 0.0, 1.0) * pred_h
+                        if h == g:
+                            continue
+                        cr = cr + expert(pE, doms[h], feats2[g])
                     cr = cr / (n_domain - 1)
                     loss_cr += ((cr - expert_label) ** 2).sum(1).mean()
 

@@ -407,8 +407,11 @@ class DasslTrainer(TrainerBase):
         return self._shard(nchw_to_nhwc(img))
 
     def model_inference(self, batch, scale_no=0):
+        # default: infer with the FIRST registered model (the label
+        # net — "model", or "F" for the F/D/G-style trainers); ensemble
+        # trainers (MCD, MME, M3SDA, DAEL...) override
         x = self.eval_images(batch)
-        name = "model"
+        name = next(iter(self._models))
         if name not in self._infer_cache:
             net = self._nets[name]
             self._infer_cache[name] = jax.jit(

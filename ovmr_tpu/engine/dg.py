@@ -80,29 +80,32 @@ class CrossGrad(TrainerX):
 
         @jax.jit
         def step(sF, sD, img, label, domain, rng):
-            # input-gradients of each net's loss (params frozen)
+            # input-gradients of each net's loss (params frozen). The
+            # reference runs these forwards in train mode, so their BN
+            # running-stat updates are kept (has_aux) and thread into the
+            # parameter updates below
             def d_loss_wrt_input(x):
-                out, _ = apply_train(
+                out, bs = apply_train(
                     netD, sD["params"], sD["batch_stats"], x, rng
                 )
-                return F.cross_entropy(out, domain)
+                return F.cross_entropy(out, domain), bs
 
             def f_loss_wrt_input(x):
-                out, _ = apply_train(
+                out, bs = apply_train(
                     netF, sF["params"], sF["batch_stats"], x, rng
                 )
-                return F.cross_entropy(out, label)
+                return F.cross_entropy(out, label), bs
 
-            grad_d = jnp.clip(jax.grad(d_loss_wrt_input)(img), -0.1, 0.1)
-            input_d = img + eps_f * grad_d
-            grad_f = jnp.clip(jax.grad(f_loss_wrt_input)(img), -0.1, 0.1)
-            input_f = img + eps_d * grad_f
+            grad_d, bsD0 = jax.grad(d_loss_wrt_input, has_aux=True)(img)
+            input_d = img + eps_f * jnp.clip(grad_d, -0.1, 0.1)
+            grad_f, bsF0 = jax.grad(f_loss_wrt_input, has_aux=True)(img)
+            input_f = img + eps_d * jnp.clip(grad_f, -0.1, 0.1)
+            bsD0 = jax.lax.stop_gradient(bsD0)
+            bsF0 = jax.lax.stop_gradient(bsF0)
 
             # update label net on (x, x_d)
             def loss_F(params):
-                out1, bs = apply_train(
-                    netF, params, sF["batch_stats"], img, rng
-                )
+                out1, bs = apply_train(netF, params, bsF0, img, rng)
                 out2, bs = apply_train(netF, params, bs, input_d, rng)
                 loss = (1 - alpha_f) * F.cross_entropy(out1, label) + (
                     alpha_f * F.cross_entropy(out2, label)
@@ -117,9 +120,7 @@ class CrossGrad(TrainerX):
 
             # update domain net on (x, x_f)
             def loss_D(params):
-                out1, bs = apply_train(
-                    netD, params, sD["batch_stats"], img, rng
-                )
+                out1, bs = apply_train(netD, params, bsD0, img, rng)
                 out2, bs = apply_train(netD, params, bs, input_f, rng)
                 loss = (1 - alpha_d) * F.cross_entropy(out1, domain) + (
                     alpha_d * F.cross_entropy(out2, domain)
@@ -151,17 +152,8 @@ class CrossGrad(TrainerX):
         out["loss"] = out["loss_f"]
         return out
 
-    def model_inference(self, batch, scale_no=0):
-        x = self.eval_images(batch)
-        if "infer" not in self._infer_cache:
-            netF = self.netF
-            self._infer_cache["infer"] = jax.jit(
-                lambda s, xx: apply_eval(netF, s, xx)
-            )
-        out = self._infer_cache["infer"](
-            {k: self._models["F"][k] for k in ("params", "batch_stats")}, x
-        )
-        return np.asarray(out)
+    # inference: DasslTrainer.model_inference on the first registered
+    # model ("F"), matching the reference's `return self.F(input)`
 
 
 @TRAINER_REGISTRY.register()
@@ -227,24 +219,31 @@ class DDAIG(TrainerX):
                 x_p = jnp.clip(x_p, cmin, cmax)
             return x_p, new_bs["batch_stats"]
 
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(6,))
         def step(sF, sD, sG, img, label, domain, apply_pert, rng):
             # ---- update G -------------------------------------------
+            # the G-phase F/D forwards run in train mode in the
+            # reference, so their BN running-stat updates carry into the
+            # F/D updates below (has_aux)
             def loss_G(gp):
                 x_p, g_bs = perturb(gp, sG["batch_stats"], img)
-                out_f, _ = apply_train(
+                out_f, f_bs = apply_train(
                     netF, sF["params"], sF["batch_stats"], x_p, rng
                 )
-                out_d, _ = apply_train(
+                out_d, d_bs = apply_train(
                     netD, sD["params"], sD["batch_stats"], x_p, rng
                 )
                 loss = F.cross_entropy(out_f, label)
                 loss -= F.cross_entropy(out_d, domain)
-                return loss, g_bs
+                return loss, (g_bs, f_bs, d_bs)
 
-            (loss_g, g_bs), gG = jax.value_and_grad(loss_G, has_aux=True)(
-                sG["params"]
-            )
+            (loss_g, (g_bs, bsF0, bsD0)), gG = jax.value_and_grad(
+                loss_G, has_aux=True
+            )(sG["params"])
+            bsF0 = jax.lax.stop_gradient(bsF0)
+            bsD0 = jax.lax.stop_gradient(bsD0)
             updG, optG = txG.update(gG, sG["opt_state"], sG["params"])
             pG = optax.apply_updates(sG["params"], updG)
 
@@ -253,17 +252,16 @@ class DDAIG(TrainerX):
             x_p = jax.lax.stop_gradient(x_p)
 
             # ---- update F -------------------------------------------
+            # apply_pert is STATIC: during warmup the reference never
+            # runs the perturbed forward at all (no BN update from it)
             def loss_Fm(params):
-                out, bs = apply_train(
-                    netF, params, sF["batch_stats"], img, rng
-                )
-                loss_clean = F.cross_entropy(out, label)
-                out_p, bs = apply_train(netF, params, bs, x_p, rng)
-                loss_pert = F.cross_entropy(out_p, label)
-                # warmup gate rides in as 0/1 (apply_pert)
-                loss = (1 - apply_pert * alpha) * loss_clean + (
-                    apply_pert * alpha * loss_pert
-                )
+                out, bs = apply_train(netF, params, bsF0, img, rng)
+                loss = F.cross_entropy(out, label)
+                if apply_pert:
+                    out_p, bs = apply_train(netF, params, bs, x_p, rng)
+                    loss = (1 - alpha) * loss + alpha * F.cross_entropy(
+                        out_p, label
+                    )
                 return loss, bs
 
             (loss_f, bsF), gF = jax.value_and_grad(loss_Fm, has_aux=True)(
@@ -274,9 +272,7 @@ class DDAIG(TrainerX):
 
             # ---- update D -------------------------------------------
             def loss_Dm(params):
-                out, bs = apply_train(
-                    netD, params, sD["batch_stats"], img, rng
-                )
+                out, bs = apply_train(netD, params, bsD0, img, rng)
                 return F.cross_entropy(out, domain), bs
 
             (loss_d, bsD), gD = jax.value_and_grad(loss_Dm, has_aux=True)(
@@ -296,12 +292,10 @@ class DDAIG(TrainerX):
 
     def forward_backward(self, batch):
         img, label, domain = self.parse_batch_train(batch)
-        apply_pert = 1.0 if (self.epoch + 1) > int(
-            self.cfg.TRAINER.DDAIG.WARMUP
-        ) else 0.0
+        apply_pert = (self.epoch + 1) > int(self.cfg.TRAINER.DDAIG.WARMUP)
         sF, sD, sG, metrics = self._ddaig_step(
             self._models["F"], self._models["D"], self._models["G"],
-            img, label, domain, jnp.float32(apply_pert), self.step_rng(),
+            img, label, domain, bool(apply_pert), self.step_rng(),
         )
         self._models["F"] = sF
         self._models["D"] = sD
@@ -310,17 +304,8 @@ class DDAIG(TrainerX):
         out["loss"] = out["loss_f"]
         return out
 
-    def model_inference(self, batch, scale_no=0):
-        x = self.eval_images(batch)
-        if "infer" not in self._infer_cache:
-            netF = self.netF
-            self._infer_cache["infer"] = jax.jit(
-                lambda s, xx: apply_eval(netF, s, xx)
-            )
-        out = self._infer_cache["infer"](
-            {k: self._models["F"][k] for k in ("params", "batch_stats")}, x
-        )
-        return np.asarray(out)
+    # inference: DasslTrainer.model_inference on the first registered
+    # model ("F"), matching the reference's `return self.F(input)`
 
 
 @TRAINER_REGISTRY.register()
@@ -402,19 +387,29 @@ class DAELDG(TrainerX):
                 loss_cr = jnp.float32(0)
                 acc = jnp.float32(0)
                 bs = sF["batch_stats"]
+                # reference forward order: ALL weak views, then ALL strong
+                # views (BN running stats are order-dependent)
+                feats, feats2 = [], []
                 for g in range(n_domain):
-                    feat_i, bs = apply_train(netF, pF, bs, imgs[g], rng)
-                    feat2_i, bs = apply_train(netF, pF, bs, imgs2[g], rng)
-                    pred_i = expert(pE, doms[g], feat_i)
+                    f, bs = apply_train(netF, pF, bs, imgs[g], rng)
+                    feats.append(f)
+                for g in range(n_domain):
+                    f2, bs = apply_train(netF, pF, bs, imgs2[g], rng)
+                    feats2.append(f2)
+                for g in range(n_domain):
+                    pred_i = expert(pE, doms[g], feats[g])
                     loss_x += (
                         -labels[g] * jnp.log(pred_i + 1e-5)
                     ).sum(1).mean()
                     expert_label = jax.lax.stop_gradient(pred_i)
                     acc += (pred_i.argmax(1) == labels[g].argmax(1)).mean()
+                    # consistency: mean of the OTHER domains' experts on
+                    # the strong view (h == g skipped outright)
                     cr = jnp.zeros_like(pred_i)
                     for h in range(n_domain):
-                        pred_h = expert(pE, doms[h], feat2_i)
-                        cr = cr + jnp.where(h == g, 0.0, 1.0) * pred_h
+                        if h == g:
+                            continue
+                        cr = cr + expert(pE, doms[h], feats2[g])
                     cr = cr / (n_domain - 1)
                     loss_cr += ((cr - expert_label) ** 2).sum(1).mean()
                 loss_x /= n_domain

@@ -190,20 +190,22 @@ class MixMatch(TrainerXU):
             k_guess, k_shuf, k_mix1, k_mix2, k_net = jax.random.split(rng, 5)
             bs0 = state["batch_stats"]
 
-            # pseudo-labels: average softmax over the K views, sharpened
-            # (no gradient; eval-mode statistics like torch no_grad train
-            # forward would still use batch stats — the reference guesses
-            # in train mode, so mirror with apply_train on frozen params)
+            # pseudo-labels: average softmax over the K views, sharpened.
+            # The reference guesses in train mode under no_grad — batch
+            # statistics normalize AND the running stats advance per view,
+            # so thread the BN state through the K guessing forwards
             def guess(carry, img_ui):
-                logits, _ = apply_train(
-                    net, state["params"], bs0, img_ui, k_guess
+                p_acc, bs_c = carry
+                logits, bs_c = apply_train(
+                    net, state["params"], bs_c, img_ui, k_guess
                 )
-                return carry + jax.nn.softmax(logits, axis=1), None
+                return (p_acc + jax.nn.softmax(logits, axis=1), bs_c), None
 
             k = imgs_u.shape[0]
-            p_sum, _ = jax.lax.scan(
-                guess, jnp.zeros((imgs_u.shape[1], n_cls)), imgs_u
+            (p_sum, bs0), _ = jax.lax.scan(
+                guess, (jnp.zeros((imgs_u.shape[1], n_cls)), bs0), imgs_u
             )
+            bs0 = jax.lax.stop_gradient(bs0)
             label_u = F.sharpen_prob(p_sum / k, temp)
             label_u = jax.lax.stop_gradient(label_u)
 
@@ -307,19 +309,24 @@ class FixMatch(TrainerXU):
             input_u2 = jnp.concatenate([img_x2, img_u2], 0)
             bs0 = state["batch_stats"]
 
-            # pseudo-labels from the weak view (frozen params)
-            logits_w, _ = apply_train(net, state["params"], bs0, input_u, rng)
+            # pseudo-labels from the weak view (frozen params; the
+            # reference's no_grad train forward still advances the BN
+            # running stats, so keep the returned state)
+            logits_w, bs0 = apply_train(
+                net, state["params"], bs0, input_u, rng
+            )
+            bs0 = jax.lax.stop_gradient(bs0)
             prob_w = jax.nn.softmax(logits_w, axis=1)
             max_prob = prob_w.max(1)
             label_u_pred = prob_w.argmax(1)
             mask_u = (max_prob >= conf_thre).astype(jnp.float32)
 
             # pseudo-label quality diagnostics (reference
-            # assess_y_pred_quality)
+            # assess_y_pred_quality — all three over the UNLABELED slice)
             hit = (label_u_pred[n_x:] == label_u).astype(jnp.float32)
             acc_thre = (hit * mask_u[n_x:]).sum() / (mask_u[n_x:].sum() + 1e-5)
             acc_raw = hit.mean()
-            keep_rate = mask_u.mean()
+            keep_rate = mask_u[n_x:].mean()
 
             def loss_fn(params):
                 out_x, bs = apply_train(net, params, bs0, img_x, rng)

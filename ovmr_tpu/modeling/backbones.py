@@ -76,6 +76,26 @@ def _max_pool(x, window, stride, padding=0):
     )
 
 
+def _adaptive_avg_pool(x, out_hw):
+    """torch ``AdaptiveAvgPool2d`` semantics for NHWC ``x`` at ANY static
+    input size: output cell (i, j) averages rows ``floor(i*H/oh) ..
+    ceil((i+1)*H/oh)`` (replicates when the input is smaller than the
+    output grid). Static shapes -> the slice bounds are Python ints."""
+    h, w = x.shape[1:3]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    rows = []
+    for i in range(oh):
+        h0, h1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+        cols = []
+        for j in range(ow):
+            w0, w1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+            cols.append(x[:, h0:h1, w0:w1, :].mean(axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)
+
+
 def _notice_pretrained(name: str, pretrained: bool):
     if pretrained:
         print(
@@ -256,10 +276,13 @@ class WideResNet(nn.Module):
         equal = in_planes == out_planes
         act = lambda v: nn.leaky_relu(v, 0.01)
         out = act(_bn(train, f"{name}_bn1")(x))
-        src = out if equal else x
         if not equal:
             x = out  # reference rebinds x to the activated input
-        h = _conv(out_planes, 3, stride, name=f"{name}_conv1")(src)
+        # conv1 consumes the ACTIVATED tensor in BOTH branches (reference
+        # wide_resnet.py BasicBlock: `out if self.equalInOut else x` where
+        # x was rebound above); only the shortcut sees the raw input (and
+        # only in the equal case)
+        h = _conv(out_planes, 3, stride, name=f"{name}_conv1")(out)
         h = act(_bn(train, f"{name}_bn2")(h))
         if self.drop_rate > 0:
             h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
@@ -306,12 +329,10 @@ class VGG16(nn.Module):
             else:
                 x = nn.relu(_conv(v, 3, 1, use_bias=True, name=f"conv{i}")(x))
                 i += 1
-        # AdaptiveAvgPool2d((7,7)): 224-input VGG trunk already emits 7x7;
-        # average down otherwise
-        h, w = x.shape[1:3]
-        if (h, w) != (7, 7):
-            x = nn.avg_pool(x, (max(h // 7, 1), max(w // 7, 1)),
-                            strides=(max(h // 7, 1), max(w // 7, 1)))
+        # AdaptiveAvgPool2d((7,7)) — exact torch bin semantics at any
+        # input size, so the flattened dim is always 512*7*7 like the
+        # reference (a 224 input is the identity fast path)
+        x = _adaptive_avg_pool(x, (7, 7))
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(4096, name="fc1")(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
@@ -339,10 +360,7 @@ class AlexNet(nn.Module):
         x = nn.relu(_conv(256, 3, 1, use_bias=True, name="conv4")(x))
         x = nn.relu(_conv(256, 3, 1, use_bias=True, name="conv5")(x))
         x = _max_pool(x, 3, 2)
-        h, w = x.shape[1:3]
-        if (h, w) != (6, 6):  # AdaptiveAvgPool2d((6,6))
-            x = nn.avg_pool(x, (max(h // 6, 1), max(w // 6, 1)),
-                            strides=(max(h // 6, 1), max(w // 6, 1)))
+        x = _adaptive_avg_pool(x, (6, 6))  # AdaptiveAvgPool2d((6,6))
         x = x.reshape(x.shape[0], -1)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.relu(nn.Dense(4096, name="fc1")(x))

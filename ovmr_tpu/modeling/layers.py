@@ -100,12 +100,23 @@ class DSBN(nn.Module):
     @nn.compact
     def __call__(self, x, domain_idx: int = 0, train: bool = True):
         assert 0 <= domain_idx < self.n_domain
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            name=f"bn_{domain_idx}",
-        )(x)
+        bns = [
+            nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                name=f"bn_{i}",
+            )
+            for i in range(self.n_domain)
+        ]
+        if self.is_initializing():
+            # materialize every domain's params/stats at init (the
+            # reference builds all n_domain BNs up front); apply-time
+            # forwards touch — and update — only the selected domain
+            for i, bn in enumerate(bns):
+                if i != domain_idx:
+                    bn(x)
+        return bns[domain_idx](x)
 
 
 class TransNorm(nn.Module):

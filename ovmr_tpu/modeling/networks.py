@@ -82,6 +82,7 @@ def affine_grid_sample(x, theta):
 class _ResnetBlock(nn.Module):
     dim: int
     use_batch_norm: bool = False  # instance norm otherwise
+    padding_type: str = "reflect"  # the FCN trunk; LocNet uses "zero"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -93,9 +94,19 @@ class _ResnetBlock(nn.Module):
                 )(v)
             return _instance_norm(v)
 
-        h = _reflect_conv(x, self.dim, "conv1")
+        def conv(v, name):
+            if self.padding_type == "reflect":
+                return _reflect_conv(v, self.dim, name)
+            # zero padding (reference builds LocNet's ResnetBlocks with
+            # padding_type='zero', ddaig_fcn.py)
+            return nn.Conv(
+                self.dim, (3, 3), padding=1, use_bias=False,
+                kernel_init=_gauss02, name=name,
+            )(v)
+
+        h = conv(x, "conv1")
         h = nn.relu(norm(h, "norm1"))
-        h = _reflect_conv(h, self.dim, "conv2")
+        h = conv(h, "conv2")
         return x + norm(h, "norm2")
 
 
@@ -116,6 +127,7 @@ class LocNet(nn.Module):
                                  epsilon=1e-5, name="bn0")(x))
         for i in range(self.n_blocks):
             x = _ResnetBlock(self.nc, use_batch_norm=True,
+                             padding_type="zero",
                              name=f"block{i}")(x, train=train)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(b, -1)

@@ -203,12 +203,27 @@ def test_transnorm_and_dsbn_layers():
     assert out_eval.shape == x.shape
 
     dsbn = DSBN(6, n_domain=2)
+    # ONE init materializes every domain's BN (reference builds all
+    # n_domain BNs up front so select_bn can switch domains)
     vs = dsbn.init({"params": key}, x, domain_idx=0, train=True)
-    vs1 = dsbn.init({"params": key}, x, domain_idx=1, train=True)
+    assert "bn_0" in vs["params"] and "bn_1" in vs["params"]
+    assert "bn_0" in vs["batch_stats"] and "bn_1" in vs["batch_stats"]
     out, upd = dsbn.apply(vs, x, domain_idx=0, train=True, mutable=["batch_stats"])
     assert out.shape == x.shape
-    # each domain owns its BatchNorm parameters
-    assert "bn_0" in vs["params"] and "bn_1" in vs1["params"]
+    # the same variables serve any other domain, and a train forward
+    # updates ONLY the selected domain's running stats
+    out1, upd1 = dsbn.apply(
+        vs, x + 1.0, domain_idx=1, train=True, mutable=["batch_stats"]
+    )
+    assert out1.shape == x.shape
+    np.testing.assert_allclose(
+        np.asarray(upd1["batch_stats"]["bn_0"]["mean"]),
+        np.asarray(vs["batch_stats"]["bn_0"]["mean"]),
+    )
+    assert not np.allclose(
+        np.asarray(upd1["batch_stats"]["bn_1"]["mean"]),
+        np.asarray(vs["batch_stats"]["bn_1"]["mean"]),
+    )
 
 
 def test_attention_and_dynamic_conv():
