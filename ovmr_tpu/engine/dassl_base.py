@@ -106,10 +106,12 @@ class Critic(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ovmr_tpu.modeling.layers import TorchBatchNorm
+
         for i, dim in enumerate(self.hidden):
             x = nn.Dense(dim, name=f"fc{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"bn{i}")(x)
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, name=f"bn{i}")(x)
             x = nn.leaky_relu(x, 0.01)
         return nn.Dense(1, name="logit")(x)
 

@@ -47,7 +47,10 @@ _kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 def _bn(train: bool, name: Optional[str] = None, momentum=0.9, eps=1e-5):
-    return nn.BatchNorm(
+    # torch-exact BN (unbiased running-var update) — see TorchBatchNorm
+    from .layers import TorchBatchNorm
+
+    return TorchBatchNorm(
         use_running_average=not train, momentum=momentum, epsilon=eps, name=name
     )
 

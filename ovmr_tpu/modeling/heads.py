@@ -42,7 +42,9 @@ class mlp(nn.Module):
         for i, dim in enumerate(self._dims()):
             x = nn.Dense(dim, name=f"fc{i}")(x)
             if self.bn:
-                x = nn.BatchNorm(
+                from .layers import TorchBatchNorm
+
+                x = TorchBatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name=f"bn{i}",
                 )(x)

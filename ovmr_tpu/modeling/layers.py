@@ -2,7 +2,9 @@
 ``dassl/modeling/ops/{attention,conv,dsbn,transnorm}.py``).
 
 All feature maps are NHWC. BatchNorm running-stat semantics match torch
-defaults (momentum 0.1 on the batch statistic == flax momentum 0.9).
+defaults exactly via :class:`TorchBatchNorm` (momentum 0.1 on the batch
+statistic == flax momentum 0.9; running variance updates with the
+UNBIASED batch variance).
 """
 
 from __future__ import annotations
@@ -12,6 +14,50 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with EXACT ``torch.nn.BatchNorm2d/1d`` semantics: train
+    mode normalizes with the biased batch variance while the running
+    variance updates with the UNBIASED one (Bessel ``n/(n-1)``,
+    ``n = batch*spatial``); eval mode normalizes with the running stats.
+    ``flax.linen.BatchNorm`` updates the running variance with the BIASED
+    batch variance instead — a real eval-time divergence from any torch
+    reference. Collection ('batch_stats') and leaf names (mean/var,
+    scale/bias) match ``nn.BatchNorm``, so checkpoints, AdaBN's stat
+    reset and the GSPMD data-parallel path (global-batch reductions) are
+    unchanged.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9  # decay of the RUNNING stat (flax convention)
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = x.mean(axes)
+            var = ((x - mean) ** 2).mean(axes)  # torch: E[(x-mu)^2], biased
+            if not self.is_initializing():
+                n = x.size // c
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var * bessel
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return y * scale + bias
 
 
 class Attention(nn.Module):
@@ -101,7 +147,7 @@ class DSBN(nn.Module):
     def __call__(self, x, domain_idx: int = 0, train: bool = True):
         assert 0 <= domain_idx < self.n_domain
         bns = [
-            nn.BatchNorm(
+            TorchBatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from ovmr_tpu.utils.registry import Registry
 
+from .layers import TorchBatchNorm
+
 NETWORK_REGISTRY = Registry("NETWORK")
 
 _gauss02 = nn.initializers.normal(stddev=0.02)
@@ -88,7 +90,7 @@ class _ResnetBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         def norm(v, name):
             if self.use_batch_norm:
-                return nn.BatchNorm(
+                return TorchBatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name=name,
                 )(v)
@@ -123,8 +125,8 @@ class LocNet(nn.Module):
         b = x.shape[0]
         x = nn.Conv(self.nc, (3, 3), strides=(2, 2), padding=1,
                     use_bias=False, kernel_init=_gauss02, name="conv0")(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, name="bn0")(x))
+        x = nn.relu(TorchBatchNorm(use_running_average=not train,
+                                   momentum=0.9, epsilon=1e-5, name="bn0")(x))
         for i in range(self.n_blocks):
             x = _ResnetBlock(self.nc, use_batch_norm=True,
                              padding_type="zero",
