@@ -26,7 +26,6 @@ from ovmr_tpu.engine.dassl_base import (
     apply_eval,
     apply_train,
     build_simplenet,
-    load_init_weights,
     nchw_to_nhwc,
 )
 from ovmr_tpu.engine.optimizers import build_optimizer, set_lr

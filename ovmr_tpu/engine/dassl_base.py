@@ -18,7 +18,6 @@ batches) and are transposed once to NHWC — the TPU conv layout every
 
 from __future__ import annotations
 
-import os.path as osp
 from typing import Dict, Optional
 
 import flax.linen as nn

@@ -18,7 +18,6 @@ from ovmr_tpu.data.manager import DataManager
 from ovmr_tpu.data.transforms import build_transform
 from ovmr_tpu.engine.dassl_base import (
     TrainerXU,
-    apply_eval,
     apply_train,
     nchw_to_nhwc,
 )

@@ -10,10 +10,7 @@ is initialized to (tanh-squashed) identity, exactly like the reference's
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ovmr_tpu.utils.registry import Registry
