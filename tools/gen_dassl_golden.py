@@ -9,9 +9,13 @@ A) `dd_*`: cnn_digitsdg backbone + Linear classifier, two supervised
 B) `wrn_*`: wide_resnet_16_4 — two train-mode forwards then an eval
    forward, with BN running stats recorded after each stage. Pins the
    WRN block wiring AND TorchBatchNorm's unbiased running-var update.
+C) `rb_*`/`bo_*`: the torchvision-style ResNet BasicBlock / Bottleneck
+   in isolation (stride placement, downsample wiring) — a full resnet18
+   golden would be ~90 MB; the blocks pin the same semantics tiny.
 
 All weight arrays are stored under OUR flax paths ('/'-joined) so the
-test transplants without a mapping table.
+test transplants without a mapping table; '*_after' dumps record stats
+only (forwards never change params).
 """
 
 import sys
@@ -91,7 +95,7 @@ wx2 = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
 data.update(wrn_x1=wx1, wrn_x2=wx2)
 
 
-def dump_wrn(prefix):
+def dump_wrn(prefix, stats_only=False):
     p, s = {}, {}
     p["conv1/kernel"] = conv_w(wrn.conv1.weight)
     for g in (1, 2, 3):
@@ -112,8 +116,9 @@ def dump_wrn(prefix):
     p["bn1/bias"] = t2np(wrn.bn1.bias)
     s["bn1/mean"] = t2np(wrn.bn1.running_mean)
     s["bn1/var"] = t2np(wrn.bn1.running_var)
-    for k, v in p.items():
-        data[f"{prefix}/params/{k}"] = v
+    if not stats_only:  # forwards never change params — skip duplicates
+        for k, v in p.items():
+            data[f"{prefix}/params/{k}"] = v
     for k, v in s.items():
         data[f"{prefix}/stats/{k}"] = v
 
@@ -124,9 +129,76 @@ f1 = wrn(torch.from_numpy(wx1))
 f2 = wrn(torch.from_numpy(wx2))
 data["wrn_feats1"] = t2np(f1)
 data["wrn_feats2"] = t2np(f2)
-dump_wrn("wrn_after")
+dump_wrn("wrn_after", stats_only=True)
 wrn.eval()
 data["wrn_feats_eval"] = t2np(wrn(torch.from_numpy(wx1)))
+
+# -------------------------------------------------- C) ResNet block wiring
+# A full resnet18 golden would be ~90 MB of weights; the block modules in
+# isolation pin the same semantics (stride placement, downsample wiring,
+# BN behavior) at ~100 KB. BasicBlock 16->32 stride 2 + Bottleneck
+# 32->16*4 stride 2, both with downsample, train + eval forwards.
+from dassl.modeling.backbone.resnet import BasicBlock, Bottleneck
+
+torch.manual_seed(2)
+
+
+def dump_block(blk, prefix, has3, stats_only=False):
+    convs = ["conv1", "conv2"] + (["conv3"] if has3 else [])
+    bns = ["bn1", "bn2"] + (["bn3"] if has3 else [])
+    if not stats_only:
+        for c in convs:
+            data[f"{prefix}/params/{c}/kernel"] = conv_w(
+                getattr(blk, c).weight
+            )
+        data[f"{prefix}/params/downsample/kernel"] = conv_w(
+            blk.downsample[0].weight
+        )
+    dbn = blk.downsample[1]
+    if not stats_only:
+        for b in bns:
+            bn = getattr(blk, b)
+            data[f"{prefix}/params/{b}/scale"] = t2np(bn.weight)
+            data[f"{prefix}/params/{b}/bias"] = t2np(bn.bias)
+        data[f"{prefix}/params/downsample_bn/scale"] = t2np(dbn.weight)
+        data[f"{prefix}/params/downsample_bn/bias"] = t2np(dbn.bias)
+    for b in bns:
+        bn = getattr(blk, b)
+        data[f"{prefix}/stats/{b}/mean"] = t2np(bn.running_mean)
+        data[f"{prefix}/stats/{b}/var"] = t2np(bn.running_var)
+    data[f"{prefix}/stats/downsample_bn/mean"] = t2np(dbn.running_mean)
+    data[f"{prefix}/stats/downsample_bn/var"] = t2np(dbn.running_var)
+
+
+bx = rng.standard_normal((4, 16, 12, 12)).astype(np.float32)
+basic = BasicBlock(
+    16, 32, stride=2,
+    downsample=nn.Sequential(
+        nn.Conv2d(16, 32, 1, stride=2, bias=False), nn.BatchNorm2d(32)
+    ),
+)
+data["rb_x"] = bx
+dump_block(basic, "rb_init", has3=False)
+basic.train()
+data["rb_train_out"] = t2np(basic(torch.from_numpy(bx)))
+dump_block(basic, "rb_after", has3=False, stats_only=True)
+basic.eval()
+data["rb_eval_out"] = t2np(basic(torch.from_numpy(bx)))
+
+bnx = rng.standard_normal((4, 32, 12, 12)).astype(np.float32)
+bott = Bottleneck(
+    32, 16, stride=2,
+    downsample=nn.Sequential(
+        nn.Conv2d(32, 64, 1, stride=2, bias=False), nn.BatchNorm2d(64)
+    ),
+)
+data["bo_x"] = bnx
+dump_block(bott, "bo_init", has3=True)
+bott.train()
+data["bo_train_out"] = t2np(bott(torch.from_numpy(bnx)))
+dump_block(bott, "bo_after", has3=True, stats_only=True)
+bott.eval()
+data["bo_eval_out"] = t2np(bott(torch.from_numpy(bnx)))
 
 np.savez_compressed(OUT, **data)
 print(f"wrote {OUT}: {len(data)} arrays")
