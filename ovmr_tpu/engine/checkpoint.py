@@ -71,7 +71,15 @@ def save_checkpoint(
     ``backend="orbax"`` (``TPU.CHECKPOINT_BACKEND``) routes the epoch-keyed
     save/resume cycle through :mod:`ovmr_tpu.engine.orbax_io` (async-safe,
     per-array chunking for very large states); named saves (best-val) stay
-    npz — they are export artifacts with a filename contract."""
+    npz — they are export artifacts with a filename contract.
+
+    Multi-host: only process 0 writes (states are replicated across
+    processes; concurrent identical writes to a shared FS would race)."""
+    import jax as _jax
+
+    if _jax.process_count() > 1 and _jax.process_index() != 0:
+        target = model_name or f"model-{epoch}.npz"
+        return f"{directory}/{name}/{target}"  # written by process 0
     if backend == "orbax" and not model_name and not is_best:
         from ovmr_tpu.engine.orbax_io import save_orbax
 

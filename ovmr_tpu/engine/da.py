@@ -30,6 +30,7 @@ from ovmr_tpu.engine.dassl_base import (
 )
 from ovmr_tpu.engine.optimizers import build_optimizer, set_lr
 from ovmr_tpu.engine.trainer import TRAINER_REGISTRY
+from ovmr_tpu.parallel import to_host
 from ovmr_tpu.modeling import ops as F
 from ovmr_tpu.utils.tools import check_isfile
 
@@ -450,7 +451,7 @@ class MCD(TrainerXU):
             {k: self._models["F"][k] for k in ("params", "batch_stats")},
             self._models["C1"], x,
         )
-        return np.asarray(out)
+        return to_host(out)
 
 
 @TRAINER_REGISTRY.register()
@@ -566,7 +567,7 @@ class MME(TrainerXU):
             {k: self._models["F"][k] for k in ("params", "batch_stats")},
             self._models["C"], x,
         )
-        return np.asarray(out)
+        return to_host(out)
 
 
 @TRAINER_REGISTRY.register()
@@ -866,7 +867,7 @@ class M3SDA(TrainerXU):
             {k: self._models["F"][k] for k in ("params", "batch_stats")},
             self._models["C"], x,
         )
-        return np.asarray(out)
+        return to_host(out)
 
 
 @TRAINER_REGISTRY.register()
@@ -1075,7 +1076,7 @@ class DAEL(TrainerXU):
             {k: self._models["F"][k] for k in ("params", "batch_stats")},
             self._models["E"], x,
         )
-        return np.asarray(out)
+        return to_host(out)
 
 
 @TRAINER_REGISTRY.register()
@@ -1296,4 +1297,4 @@ class CDAC(TrainerXU):
             {k: self._models["F"][k] for k in ("params", "batch_stats")},
             self._models["C"], x,
         )
-        return np.asarray(out)
+        return to_host(out)

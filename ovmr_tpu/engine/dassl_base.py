@@ -33,7 +33,8 @@ from ovmr_tpu.engine.trainer import TRAINER_REGISTRY, TrainerBase
 from ovmr_tpu.modeling import build_backbone, build_head
 from ovmr_tpu.modeling import ops as F
 from ovmr_tpu.data.prefetch import prefetch_batches
-from ovmr_tpu.parallel import batch_sharding, build_mesh, replicate, replicated
+from ovmr_tpu.parallel import (batch_sharding, build_mesh, replicate,
+                               replicated, to_host)
 
 
 class SimpleNet(nn.Module):
@@ -421,7 +422,7 @@ class DasslTrainer(TrainerBase):
         out = self._infer_cache[name](
             {k: self._models[name][k] for k in ("params", "batch_stats")}, x
         )
-        return np.asarray(out)
+        return to_host(out)
 
     # -- checkpointing (npz subdir-per-model + pointer) --------------------
     def _model_state_tree(self, name):

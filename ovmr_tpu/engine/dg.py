@@ -27,6 +27,7 @@ from ovmr_tpu.engine.dassl_base import (
 )
 from ovmr_tpu.engine.optimizers import build_optimizer
 from ovmr_tpu.engine.trainer import TRAINER_REGISTRY
+from ovmr_tpu.parallel import to_host
 from ovmr_tpu.modeling import build_network
 from ovmr_tpu.modeling import ops as F
 
@@ -471,7 +472,7 @@ class DAELDG(TrainerX):
             {k: self._models["F"][k] for k in ("params", "batch_stats")},
             self._models["E"], x,
         )
-        return np.asarray(out)
+        return to_host(out)
 
 
 @TRAINER_REGISTRY.register()

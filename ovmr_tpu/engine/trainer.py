@@ -245,7 +245,9 @@ def make_feature_extractor(
             out = u8(clip_params, place(jnp.asarray(images_np)))
         else:
             out = f32(clip_params, place(jnp.asarray(images_np, dtype)))
-        return np.asarray(out, np.float32)[:n]
+        from ovmr_tpu.parallel import to_host
+
+        return to_host(out).astype(np.float32)[:n]
 
     return encode
 

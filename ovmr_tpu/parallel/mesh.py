@@ -9,8 +9,15 @@ single-process ``nn.DataParallel`` over visible GPUs
   reference's loss-sum-over-replicas), parameters replicate;
 - 'model' is plumbed (size 1 for ViT-B, which fits one chip) so larger
   towers can shard without API changes;
-- DCN multi-slice would add an outer axis to the same mesh; nothing below
-  this module would change.
+- multi-host (one process per pod host): after
+  ``multihost.maybe_initialize_distributed()`` the same mesh spans every
+  process's devices and every placement helper below assembles GLOBAL
+  arrays from host values via ``jax.make_array_from_callback`` (each
+  process materializes only its addressable shards). The feeding contract
+  is that every process holds the identical host value (loaders are
+  seeded by ``cfg.SEED``, params by the same PRNGKey), so nothing above
+  this module changes; ``to_host`` gathers sharded results back
+  (process_allgather) for host-side evaluation.
 """
 
 from __future__ import annotations
@@ -31,6 +38,27 @@ def build_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, ("data", "model"))
 
 
+def from_host(x, sharding: NamedSharding) -> jax.Array:
+    """Place a host value that EVERY process holds identically onto a
+    (possibly multi-process) sharding. Single-process: plain device_put.
+    Multi-process: assemble the global array shard-by-shard — device_put
+    would fail on non-addressable devices."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def to_host(x) -> np.ndarray:
+    """Fetch a (possibly cross-process-sharded) array to every host.
+    Single-process (or fully-replicated): plain np.asarray."""
+    if jax.process_count() == 1 or x.is_fully_replicated:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def batch_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
     """Shard dim `axis` over 'data', replicate the rest."""
     spec = [None] * ndim
@@ -43,12 +71,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, x: jax.Array, axis: int = 0) -> jax.Array:
-    return jax.device_put(x, batch_sharding(mesh, x.ndim, axis))
+    return from_host(x, batch_sharding(mesh, np.ndim(x), axis))
 
 
 def replicate(mesh: Mesh, tree):
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: from_host(x, sharding), tree)
 
 
 def pad_to_multiple(n: int, multiple: int) -> int:
@@ -82,6 +110,7 @@ def tower_param_shardings(mesh: Mesh, params):
 
 
 def place_tower_params(mesh: Mesh, params):
-    """device_put CLIP tower params with :func:`tower_param_shardings`."""
+    """Place CLIP tower params with :func:`tower_param_shardings`
+    (multi-process aware — every process holds the full host copy)."""
     shardings = tower_param_shardings(mesh, params)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    return jax.tree_util.tree_map(from_host, params, shardings)

@@ -1,0 +1,124 @@
+"""Worker process for tests/test_multihost.py (NOT a pytest module).
+
+Each of the two processes owns 4 virtual CPU devices; after
+``maybe_initialize_distributed()`` the jax program is GLOBAL over all 8.
+Runs the real multi-chip paths with host-identical inputs:
+
+1. the OVMR shard_map train step (`make_sharded_train_step`) on the
+   global ('data', 'model') mesh — batch assembled cross-process by
+   `shard_batch` (make_array_from_callback);
+2. the Dassl Vanilla trainer via `build_trainer` (GSPMD supervised step,
+   `setup_dassl_mesh` forming the global mesh) + a `model_inference`
+   fetch through `to_host` (process_allgather).
+
+Prints one line ``MHOK <loss1> <loss2> <infer_checksum>`` for the parent
+to compare across processes.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from ovmr_tpu.parallel import maybe_initialize_distributed
+
+assert maybe_initialize_distributed(), "OVMR_COORDINATOR env missing"
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+
+    from ovmr_tpu.engine.optimizers import build_optimizer
+    from ovmr_tpu.engine.train_step import make_sharded_train_step
+    from ovmr_tpu.models import clip as jclip
+    from ovmr_tpu.models.aggregator import init_aggregator
+    from ovmr_tpu.parallel import build_mesh, replicate, shard_batch, to_host
+    from ovmr_tpu.utils.defaults import get_cfg_default
+
+    # ---- 1. OVMR shard_map train step over the 2-process mesh ----------
+    mesh = build_mesh(data=8, model=1)
+    clip_cfg = jclip.TINY
+    key = jax.random.PRNGKey(0)
+    clip_params = jclip.init_params(key, clip_cfg)
+    agg_params = init_aggregator(
+        key, width=clip_cfg.embed_dim, layers=2, n_ctx=2
+    )
+    cfg = get_cfg_default()
+    optimizer = build_optimizer(cfg.OPTIM)
+    opt_state = optimizer.init(agg_params)
+    step = make_sharded_train_step(clip_cfg, optimizer, mesh, dropout=0.1)
+
+    num_cls, n_ins = 16, 4
+    host_rng = np.random.default_rng(0)  # identical on both processes
+    images = host_rng.normal(size=(num_cls, n_ins, 3, 32, 32)).astype(
+        np.float32
+    )
+    ptok = host_rng.integers(1, 400, size=(num_cls, 77)).astype(np.int32)
+    ptok[:, 0] = 49406
+    ptok[:, 6] = 49407
+    eot = np.full((num_cls,), 6, np.int32)
+    vtok = np.zeros((77,), np.int32)
+    vtok[[0, 1, 2, 3]] = [49406, 320, 269, 49407]
+
+    new_params, _, loss = step(
+        replicate(mesh, agg_params),
+        replicate(mesh, opt_state),
+        replicate(mesh, clip_params),
+        shard_batch(mesh, images),
+        shard_batch(mesh, ptok),
+        shard_batch(mesh, eot),
+        jnp.asarray(vtok),
+        jax.random.PRNGKey(1),
+        2,
+    )
+    jax.block_until_ready(new_params)
+    loss1 = float(loss)
+    assert np.isfinite(loss1)
+
+    # ---- 2. Dassl Vanilla trainer end-to-end on the global mesh --------
+    import tempfile
+
+    from ovmr_tpu.engine import register_all_trainers
+    from ovmr_tpu.engine.trainer import build_trainer
+
+    register_all_trainers()
+    cfg2 = get_cfg_default()
+    cfg2.TRAINER.NAME = "Vanilla"
+    cfg2.DATASET.NAME = "SyntheticDA"
+    cfg2.DATASET.ROOT = os.environ["OVMR_MH_DATA"]
+    cfg2.OUTPUT_DIR = tempfile.mkdtemp(prefix="ovmr_mh_out_")
+    cfg2.SEED = 1
+    cfg2.INPUT.SIZE = (32, 32)
+    cfg2.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg2.MODEL.BACKBONE.PRETRAINED = False
+    cfg2.DATALOADER.TRAIN_X.BATCH_SIZE = 16
+    cfg2.DATALOADER.TEST.BATCH_SIZE = 8
+    cfg2.DATALOADER.NUM_WORKERS = 0
+    cfg2.OPTIM.MAX_EPOCH = 1
+    cfg2.TPU.MESH.DATA = 8
+    cfg2.freeze()
+    trainer = build_trainer(cfg2)
+    assert trainer.mesh is not None
+    batch = next(iter(trainer.dm.train_loader_x))
+    metrics = trainer.forward_backward(batch)
+    loss2 = metrics["loss"]
+    assert np.isfinite(loss2)
+
+    test_batch = next(iter(trainer.dm.test_loader))
+    logits = trainer.model_inference(test_batch)  # to_host gather
+    checksum = float(np.abs(logits).sum())
+
+    print(f"MHOK {loss1:.6f} {loss2:.6f} {checksum:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Multi-host (multi-process) SPMD: two coordinated processes, 4 virtual
+CPU devices each, ONE global 8-device mesh — the pod-scale execution
+model (one process per host) the reference's single-process
+``nn.DataParallel`` cannot express.
+
+The worker (tests/multihost_worker.py) runs the real code paths: the
+OVMR shard_map train step with cross-process batch assembly, and the
+Dassl Vanilla trainer + `to_host` inference gather. Both processes must
+agree bit-for-bit on the printed losses (the program is global; only
+the feeding is per-process)."""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def test_two_process_mesh_agrees(tmp_path):
+    port = 12000 + (os.getpid() % 2000)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        env.update(
+            OVMR_COORDINATOR=f"localhost:{port}",
+            OVMR_NUM_PROCESSES="2",
+            OVMR_PROCESS_ID=str(pid),
+            OVMR_SYNTHETIC="4,8,32",
+            OVMR_MH_DATA=str(tmp_path / "data"),
+            JAX_PLATFORMS="cpu",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, osp.join("tests", "multihost_worker.py")],
+                cwd=REPO,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+    lines = [
+        [ln for ln in out.splitlines() if ln.startswith("MHOK ")][-1]
+        for out in outs
+    ]
+    # the global program computes identical values on every process
+    assert lines[0] == lines[1], f"{lines[0]!r} != {lines[1]!r}"

@@ -19,6 +19,13 @@ if _platforms:
     except Exception:
         pass
 
+# multi-host (one process per pod host): rendezvous BEFORE the backend
+# initializes so the mesh spans every process's chips (no-op without the
+# OVMR_COORDINATOR / OVMR_MULTIHOST env vars)
+from ovmr_tpu.parallel import maybe_initialize_distributed
+
+maybe_initialize_distributed()
+
 from ovmr_tpu.engine import register_all_trainers
 from ovmr_tpu.engine.trainer import build_trainer
 
