@@ -73,17 +73,21 @@ def save_checkpoint(
     per-array chunking for very large states); named saves (best-val) stay
     npz — they are export artifacts with a filename contract.
 
-    Multi-host: only process 0 writes (states are replicated across
-    processes; concurrent identical writes to a shared FS would race)."""
+    Multi-host: the npz path writes on process 0 only (states are
+    replicated; concurrent identical writes to a shared FS would race).
+    The orbax path runs on EVERY process — orbax saves are cross-process
+    collectives (a non-primary early return would deadlock process 0 in
+    the global sync barrier); orbax handles per-process write roles
+    itself."""
+    if backend == "orbax" and not model_name and not is_best:
+        from ovmr_tpu.engine.orbax_io import save_orbax
+
+        return save_orbax(directory, name, epoch, params, opt_state)
     import jax as _jax
 
     if _jax.process_count() > 1 and _jax.process_index() != 0:
         target = model_name or f"model-{epoch}.npz"
         return f"{directory}/{name}/{target}"  # written by process 0
-    if backend == "orbax" and not model_name and not is_best:
-        from ovmr_tpu.engine.orbax_io import save_orbax
-
-        return save_orbax(directory, name, epoch, params, opt_state)
     subdir = osp.join(directory, name)
     mkdir_if_missing(subdir)
     fname = f"{model_name}.npz" if model_name else f"model-{epoch}.npz"

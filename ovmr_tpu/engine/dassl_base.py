@@ -33,8 +33,8 @@ from ovmr_tpu.engine.trainer import TRAINER_REGISTRY, TrainerBase
 from ovmr_tpu.modeling import build_backbone, build_head
 from ovmr_tpu.modeling import ops as F
 from ovmr_tpu.data.prefetch import prefetch_batches
-from ovmr_tpu.parallel import (batch_sharding, build_mesh, replicate,
-                               replicated, to_host)
+from ovmr_tpu.parallel import (batch_sharding, build_mesh, from_host,
+                               replicate, replicated, to_host)
 
 
 class SimpleNet(nn.Module):
@@ -278,14 +278,17 @@ class DasslTrainer(TrainerBase):
     def _shard(self, x, axis: int = 0):
         """Host batch array -> device. With a mesh: shard ``axis`` over
         'data' when divisible (otherwise replicate — still correct, just
-        not distributed, e.g. a ragged final eval batch)."""
+        not distributed, e.g. a ragged final eval batch). Placement rides
+        the multi-process-aware helpers (`from_host`), never raw
+        device_put — device_put cannot reach non-addressable devices on
+        a multi-host mesh."""
         if self.mesh is None:
             return jnp.asarray(x)
         x = np.asarray(x)
         n = self.mesh.shape["data"]
         if x.ndim and x.shape[axis] % n == 0 and x.shape[axis] > 0:
-            return jax.device_put(x, batch_sharding(self.mesh, x.ndim, axis))
-        return jax.device_put(x, replicated(self.mesh))
+            return from_host(x, batch_sharding(self.mesh, x.ndim, axis))
+        return from_host(x, replicated(self.mesh))
 
     def get_model_names(self):
         return list(self._models)

@@ -18,7 +18,13 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
 def test_two_process_mesh_agrees(tmp_path):
-    port = 12000 + (os.getpid() % 2000)
+    import socket
+
+    # bind an ephemeral port so a stale/concurrent listener can't turn a
+    # rendezvous failure into the full communicate() timeout
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     procs = []
     for pid in range(2):
         env = dict(os.environ)
