@@ -46,7 +46,11 @@ class HostDataLoader:
         return_img0: bool = False,
         img0_transform=None,
         transform2=None,
+        local_block=None,
     ):
+        # (process_index, process_count) — multi-host per-host sliced
+        # decode; None = every process decodes the full global batch
+        self.local_block = local_block
         self.data_source = data_source
         self.sampler = sampler
         self.transform = transform
@@ -132,6 +136,21 @@ class HostDataLoader:
             )
         return arrs, item.label, item.impath, img0, item.domain, img2
 
+    def _local_view(self, batch_idx):
+        """Per-host sliced decode (multi-host): keep only this process's
+        contiguous block of the (identically seeded) global batch.
+        Returns ``(sub_idx, position_offset, is_local)`` — the position
+        offset preserves the GLOBAL per-item augmentation stream, so the
+        locally decoded rows are pixel-identical to the corresponding
+        rows of a full decode."""
+        if self.local_block is None:
+            return batch_idx, 0, False
+        pid, nproc = self.local_block
+        if len(batch_idx) % nproc != 0:
+            return batch_idx, 0, False  # ragged tail: decode globally
+        loc = len(batch_idx) // nproc
+        return batch_idx[pid * loc : (pid + 1) * loc], pid * loc, True
+
     def __iter__(self) -> Iterator[Dict]:
         rng = np.random.default_rng(self._seed + self._epoch)
         indices = self.sampler.epoch_indices(rng)
@@ -142,11 +161,13 @@ class HostDataLoader:
                 batch_idx = indices[start : start + self.batch_size]
                 if self.drop_last and len(batch_idx) < self.batch_size:
                     break
-                items = [self.data_source[i] for i in batch_idx]
+                sub_idx, _, is_local = self._local_view(batch_idx)
+                items = [self.data_source[i] for i in sub_idx]
                 yield {
                     "label": np.asarray([it.label for it in items], np.int32),
                     "impath": [it.impath for it in items],
-                    "index": np.asarray(batch_idx, np.int64),
+                    "index": np.asarray(sub_idx, np.int64),
+                    "_local": is_local,
                 }
             return
 
@@ -155,11 +176,14 @@ class HostDataLoader:
                 batch_idx = indices[start : start + self.batch_size]
                 if self.drop_last and len(batch_idx) < self.batch_size:
                     break
+                sub_idx, pos_off, is_local = self._local_view(batch_idx)
                 epoch = self._epoch - 1
                 results = list(
                     pool.map(
-                        lambda args: self._load_one(args[1], epoch, start + args[0]),
-                        enumerate(batch_idx),
+                        lambda args: self._load_one(
+                            args[1], epoch, start + pos_off + args[0]
+                        ),
+                        enumerate(sub_idx),
                     )
                 )
                 k = len(results[0][0])
@@ -173,7 +197,8 @@ class HostDataLoader:
                     "img": imgs,
                     "label": labels,
                     "impath": [r[2] for r in results for _ in range(k)],
-                    "index": np.repeat(np.asarray(batch_idx, np.int64), k),
+                    "index": np.repeat(np.asarray(sub_idx, np.int64), k),
+                    "_local": is_local,
                     # source-domain index (DA/DG trainers; 0 elsewhere)
                     "domain": np.repeat(
                         np.asarray([r[4] for r in results], np.int32), k
@@ -198,9 +223,33 @@ class DataManager:
         cfg,
         dataset: Optional[DatasetBase] = None,
         tfm_train_strong=None,
+        allow_local_batches: bool = False,
     ):
         self.cfg = cfg
         self.dataset = dataset if dataset is not None else build_dataset(cfg)
+
+        # multi-host per-host sliced decode for the TRAIN loaders: each
+        # process decodes only its contiguous block of the identically
+        # seeded global batch (placement re-assembles via
+        # shard_batch_local). Only for feed paths that consume batches
+        # row-wise — the caller opts in, and structure-sensitive setups
+        # (K_TRANSFORMS pairs, strong views, domain-grouped sampling,
+        # img0) always decode globally.
+        self._local_block = None
+        if allow_local_batches and bool(
+            cfg.get("TPU", {}).get("MULTIHOST_SLICED_LOADER", True)
+        ):
+            import jax
+
+            if (
+                jax.process_count() > 1
+                and cfg.DATALOADER.K_TRANSFORMS == 1
+                and tfm_train_strong is None
+                and not cfg.DATALOADER.RETURN_IMG0
+                and not bool(cfg.TEXT_ONLY)
+                and cfg.DATALOADER.TRAIN_X.SAMPLER != "RandomDomainSampler"
+            ):
+                self._local_block = (jax.process_index(), jax.process_count())
 
         tfm_train = build_transform(cfg, is_train=True)
         # eval transfers ship uint8 by default; on-device normalization is
@@ -236,6 +285,7 @@ class DataManager:
             return_img0=bool(cfg.DATALOADER.RETURN_IMG0),
             img0_transform=img0_tfm,
             transform2=tfm_train_strong,
+            local_block=self._local_block,
         ) if ds.train_x else None
 
         # unlabeled loader (DA target domain / SSL unlabeled pool); the
@@ -263,6 +313,11 @@ class DataManager:
             drop_last=len(ds.train_u) >= u_cfg.BATCH_SIZE,
             k_transforms=cfg.DATALOADER.K_TRANSFORMS,
             transform2=tfm_train_strong,
+            local_block=(
+                self._local_block
+                if u_cfg.SAMPLER != "RandomDomainSampler"
+                else None
+            ),
         ) if getattr(ds, "train_u", None) else None
 
         self.val_loader = HostDataLoader(

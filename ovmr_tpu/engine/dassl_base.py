@@ -239,6 +239,20 @@ class DasslTrainer(TrainerBase):
     ``forward_backward(batch)`` (TrainerX) or ``forward_backward(batch_x,
     batch_u)`` semantics via :class:`TrainerXU`'s epoch loop."""
 
+    # multi-host: this trainer consumes train batches row-wise, so each
+    # process may decode only its slice of the global batch (the sliced
+    # loader marks batches "_local" and `_shard` re-assembles them).
+    # Trainers whose HOST-side logic needs the whole batch opt out.
+    SUPPORTS_LOCAL_BATCHES = True
+
+    def build_data_manager(self):
+        from ovmr_tpu.data.manager import DataManager
+
+        return DataManager(
+            self.cfg,
+            allow_local_batches=type(self).SUPPORTS_LOCAL_BATCHES,
+        )
+
     def __init__(self, cfg):
         self.check_cfg(cfg)
         self._models: Dict[str, dict] = {}  # name -> state pytree dict
@@ -275,16 +289,22 @@ class DasslTrainer(TrainerBase):
         self._nets[name] = net
         self._txs[name] = tx
 
-    def _shard(self, x, axis: int = 0):
+    def _shard(self, x, axis: int = 0, local: bool = False):
         """Host batch array -> device. With a mesh: shard ``axis`` over
         'data' when divisible (otherwise replicate — still correct, just
         not distributed, e.g. a ragged final eval batch). Placement rides
         the multi-process-aware helpers (`from_host`), never raw
         device_put — device_put cannot reach non-addressable devices on
-        a multi-host mesh."""
+        a multi-host mesh. ``local=True`` means ``x`` holds only THIS
+        process's rows (sliced loader) and the global array is assembled
+        cross-process."""
         if self.mesh is None:
             return jnp.asarray(x)
         x = np.asarray(x)
+        if local and jax.process_count() > 1:
+            from ovmr_tpu.parallel import shard_batch_local
+
+            return shard_batch_local(self.mesh, x, axis)
         n = self.mesh.shape["data"]
         if x.ndim and x.shape[axis] % n == 0 and x.shape[axis] > 0:
             return from_host(x, batch_sharding(self.mesh, x.ndim, axis))
@@ -384,9 +404,12 @@ class DasslTrainer(TrainerBase):
                 )
 
     def parse_batch_train(self, batch):
-        img = self._shard(nchw_to_nhwc(batch["img"]))
-        label = self._shard(batch["label"])
-        domain = self._shard(batch.get("domain", np.zeros_like(batch["label"])))
+        local = bool(batch.get("_local", False))
+        img = self._shard(nchw_to_nhwc(batch["img"]), local=local)
+        label = self._shard(batch["label"], local=local)
+        domain = self._shard(
+            batch.get("domain", np.zeros_like(batch["label"])), local=local
+        )
         return img, label, domain
 
     def forward_backward(self, batch):

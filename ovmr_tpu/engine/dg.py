@@ -481,6 +481,10 @@ class DomainMix(TrainerX):
     ('random') or across domains ('crossdomain'); the permutation is
     data-dependent so it is built host-side."""
 
+    # the host-side mix permutes across the WHOLE batch — every process
+    # must decode it fully (no multi-host sliced loading)
+    SUPPORTS_LOCAL_BATCHES = False
+
     def _build_steps(self):
         net, tx = self.net, self.tx
 

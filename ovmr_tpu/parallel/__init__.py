@@ -7,6 +7,7 @@ from .mesh import (
     replicate,
     replicated,
     shard_batch,
+    shard_batch_local,
     to_host,
     tower_param_shardings,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "shard_batch_local",
     "to_host",
     "tower_param_shardings",
 ]

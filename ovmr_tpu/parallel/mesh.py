@@ -74,6 +74,22 @@ def shard_batch(mesh: Mesh, x: jax.Array, axis: int = 0) -> jax.Array:
     return from_host(x, batch_sharding(mesh, np.ndim(x), axis))
 
 
+def shard_batch_local(mesh: Mesh, x, axis: int = 0) -> jax.Array:
+    """Assemble a GLOBAL batch from this process's LOCAL rows (the
+    per-host sliced-loader contract: each host decodes only its
+    contiguous block of the identically-seeded global batch).
+    Single-process: plain :func:`shard_batch`."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, x, axis)
+    x = np.asarray(x)
+    sharding = batch_sharding(mesh, x.ndim, axis)
+    gshape = list(x.shape)
+    gshape[axis] *= jax.process_count()
+    return jax.make_array_from_process_local_data(
+        sharding, x, tuple(gshape)
+    )
+
+
 def replicate(mesh: Mesh, tree):
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: from_host(x, sharding), tree)

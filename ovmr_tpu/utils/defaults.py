@@ -238,6 +238,9 @@ def get_cfg_default() -> CfgNode:
     c.TPU.MESH = CfgNode()
     c.TPU.MESH.DATA = -1
     c.TPU.MESH.MODEL = 1
+    # multi-host: each process decodes only its slice of the global batch
+    # (train loaders of row-wise trainers; see DataManager)
+    c.TPU.MULTIHOST_SLICED_LOADER = True
     # pad per-dataset class counts up to multiples of this for static shapes
     c.TPU.CLASS_PAD_MULTIPLE = 8
     # classifier generation processes classes in chunks of this size when the

@@ -108,7 +108,11 @@ def main():
     cfg2.freeze()
     trainer = build_trainer(cfg2)
     assert trainer.mesh is not None
+    # sliced loader (default): THIS process decodes only its half of the
+    # global batch; shard_batch_local re-assembles cross-process
     batch = next(iter(trainer.dm.train_loader_x))
+    assert batch["_local"], "expected the per-host sliced loader"
+    assert batch["img"].shape[0] == 8, batch["img"].shape
     metrics = trainer.forward_backward(batch)
     loss2 = metrics["loss"]
     assert np.isfinite(loss2)
@@ -117,7 +121,22 @@ def main():
     logits = trainer.model_inference(test_batch)  # to_host gather
     checksum = float(np.abs(logits).sum())
 
-    print(f"MHOK {loss1:.6f} {loss2:.6f} {checksum:.4f}", flush=True)
+    # full-decode contract (opt-out): every process decodes the whole
+    # global batch — must produce the IDENTICAL step (same seed, same
+    # global batch, same initial params)
+    cfg3 = cfg2.clone()
+    cfg3.defrost()
+    cfg3.OUTPUT_DIR = tempfile.mkdtemp(prefix="ovmr_mh_out3_")
+    cfg3.TPU.MULTIHOST_SLICED_LOADER = False
+    cfg3.freeze()
+    trainer3 = build_trainer(cfg3)
+    batch3 = next(iter(trainer3.dm.train_loader_x))
+    assert not batch3.get("_local") and batch3["img"].shape[0] == 16
+    loss3 = trainer3.forward_backward(batch3)["loss"]
+    assert abs(loss2 - loss3) < 1e-6, (loss2, loss3)
+
+    print(f"MHOK {loss1:.6f} {loss2:.6f} {loss3:.6f} {checksum:.4f}",
+          flush=True)
 
 
 if __name__ == "__main__":
