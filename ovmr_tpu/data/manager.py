@@ -47,10 +47,14 @@ class HostDataLoader:
         img0_transform=None,
         transform2=None,
         local_block=None,
+        local_multiple: int = 1,
     ):
         # (process_index, process_count) — multi-host per-host sliced
-        # decode; None = every process decodes the full global batch
+        # decode; None = every process decodes the full global batch.
+        # local_multiple: minimum row multiple of the FULL batch for a
+        # slice to be taken (mesh divisibility / class-group alignment)
         self.local_block = local_block
+        self.local_multiple = max(local_multiple, 1)
         self.data_source = data_source
         self.sampler = sampler
         self.transform = transform
@@ -146,7 +150,8 @@ class HostDataLoader:
         if self.local_block is None:
             return batch_idx, 0, False
         pid, nproc = self.local_block
-        if len(batch_idx) % nproc != 0:
+        m = max(self.local_multiple, nproc)
+        if len(batch_idx) % m != 0:
             return batch_idx, 0, False  # ragged tail: decode globally
         loc = len(batch_idx) // nproc
         return batch_idx[pid * loc : (pid + 1) * loc], pid * loc, True
@@ -233,23 +238,38 @@ class DataManager:
         # seeded global batch (placement re-assembles via
         # shard_batch_local). Only for feed paths that consume batches
         # row-wise — the caller opts in, and structure-sensitive setups
-        # (K_TRANSFORMS pairs, strong views, domain-grouped sampling,
-        # img0) always decode globally.
+        # (strong views, domain-grouped sampling, img0) always decode
+        # globally. `_local_multiple` is the row multiple a batch must
+        # satisfy to slice: the mesh 'data' axis size (so the assembled
+        # global batch always shards), times the per-class group size
+        # under RandomClassSampler (slices never cut a class group; the
+        # feed reshapes [num_cls, n_ins]).
         self._local_block = None
+        self._local_multiple = 1
         if allow_local_batches and bool(
             cfg.get("TPU", {}).get("MULTIHOST_SLICED_LOADER", True)
         ):
             import jax
 
+            samp = cfg.DATALOADER.TRAIN_X.SAMPLER
             if (
                 jax.process_count() > 1
-                and cfg.DATALOADER.K_TRANSFORMS == 1
+                and cfg.TPU.MESH.DATA != 1
                 and tfm_train_strong is None
                 and not cfg.DATALOADER.RETURN_IMG0
                 and not bool(cfg.TEXT_ONLY)
-                and cfg.DATALOADER.TRAIN_X.SAMPLER != "RandomDomainSampler"
+                and samp != "RandomDomainSampler"
+                and (samp == "RandomClassSampler"
+                     or cfg.DATALOADER.K_TRANSFORMS == 1)
             ):
+                data_ax = cfg.TPU.MESH.DATA
+                if data_ax == -1:
+                    data_ax = jax.device_count() // max(cfg.TPU.MESH.MODEL, 1)
+                mult = max(data_ax, jax.process_count())
+                if samp == "RandomClassSampler":
+                    mult *= max(cfg.DATALOADER.TRAIN_X.N_INS, 1)
                 self._local_block = (jax.process_index(), jax.process_count())
+                self._local_multiple = mult
 
         tfm_train = build_transform(cfg, is_train=True)
         # eval transfers ship uint8 by default; on-device normalization is
@@ -286,6 +306,7 @@ class DataManager:
             img0_transform=img0_tfm,
             transform2=tfm_train_strong,
             local_block=self._local_block,
+            local_multiple=self._local_multiple,
         ) if ds.train_x else None
 
         # unlabeled loader (DA target domain / SSL unlabeled pool); the
@@ -318,6 +339,7 @@ class DataManager:
                 if u_cfg.SAMPLER != "RandomDomainSampler"
                 else None
             ),
+            local_multiple=self._local_multiple,
         ) if getattr(ds, "train_u", None) else None
 
         self.val_loader = HostDataLoader(

@@ -299,6 +299,12 @@ class DasslTrainer(TrainerBase):
         process's rows (sliced loader) and the global array is assembled
         cross-process."""
         if self.mesh is None:
+            if local and jax.process_count() > 1:
+                raise RuntimeError(
+                    "sliced multi-host batch without a mesh — set "
+                    "TPU.MESH.DATA != 1 or disable "
+                    "TPU.MULTIHOST_SLICED_LOADER"
+                )
             return jnp.asarray(x)
         x = np.asarray(x)
         if local and jax.process_count() > 1:

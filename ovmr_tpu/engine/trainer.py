@@ -484,6 +484,14 @@ class MM_CLS_OP(TrainerBase):
     """OVMR visual-token-generator trainer + classifier-generation eval
     (reference ``trainers/mm_classifier_one_prompt.py:367-493``)."""
 
+    def build_data_manager(self):
+        from ovmr_tpu.data.manager import DataManager
+
+        # multi-host: exemplar batches are class-grouped rows — eligible
+        # for per-host sliced decode (DataManager aligns slices to
+        # n_ins-sized class groups AND the mesh data axis)
+        return DataManager(self.cfg, allow_local_batches=True)
+
     def build_model(self):
         cfg = self.cfg
         self.dtype = _dtype_from_cfg(cfg)
@@ -674,9 +682,26 @@ class MM_CLS_OP(TrainerBase):
             if images.dtype == np.uint8
             else jnp.asarray(images, self.dtype)
         )
+        # multi-host sliced batches: this process decoded only its class
+        # block; the loader guarantees the assembled GLOBAL class count
+        # divides the data axis (local_multiple = n_ins * data axis)
+        local = bool(batch.get("_local", False)) and jax.process_count() > 1
+        if local and self.mesh is None:
+            raise RuntimeError(
+                "sliced multi-host batch without a mesh — set TPU.MESH.DATA "
+                "!= 1 or disable TPU.MULTIHOST_SLICED_LOADER"
+            )
         step = self.train_step
         if self.mesh is not None:
-            if num_cls % dict(self.mesh.shape)["data"] == 0:
+            if local:
+                from ovmr_tpu.parallel import shard_batch_local
+
+                images_dev = shard_batch_local(self.mesh, images_dev)
+                ptok = shard_batch_local(self.mesh, ptok)
+                eot = shard_batch_local(self.mesh, eot)
+                if self.train_step_sharded is not None:
+                    step = self.train_step_sharded
+            elif num_cls % dict(self.mesh.shape)["data"] == 0:
                 from ovmr_tpu.parallel import shard_batch
 
                 images_dev = shard_batch(self.mesh, images_dev)

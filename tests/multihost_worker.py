@@ -135,8 +135,52 @@ def main():
     loss3 = trainer3.forward_backward(batch3)["loss"]
     assert abs(loss2 - loss3) < 1e-6, (loss2, loss3)
 
-    print(f"MHOK {loss1:.6f} {loss2:.6f} {loss3:.6f} {checksum:.4f}",
-          flush=True)
+    # ---- 3. MM_CLS_OP (flagship) sliced exemplar loading ---------------
+    # class-grouped batches: 8 classes x 4 instances over data=8; each
+    # process decodes 4 classes; the shard_map step sees the same global
+    # program as a full decode
+    os.environ["OVMR_SYNTHETIC"] = "8,12,32"
+
+    def mm_cfg(sliced):
+        c = get_cfg_default()
+        c.TRAINER.NAME = "MM_CLS_OP"
+        c.DATASET.NAME = "Synthetic"
+        c.DATASET.NUM_SHOTS = 4
+        c.DATASET.ROOT = os.environ["OVMR_MH_DATA"] + "_mm"
+        c.OUTPUT_DIR = tempfile.mkdtemp(prefix="ovmr_mh_mm_")
+        c.SEED = 1
+        c.INPUT.SIZE = (32, 32)
+        c.INPUT.TRANSFORMS = ("normalize",)
+        c.DATALOADER.TRAIN_X.SAMPLER = "RandomClassSampler"
+        c.DATALOADER.TRAIN_X.BATCH_SIZE = 32
+        c.DATALOADER.TRAIN_X.N_INS = 4
+        c.DATALOADER.TEST.BATCH_SIZE = 16
+        c.DATALOADER.NUM_WORKERS = 0
+        c.MODEL.BACKBONE.NAME = "TINY"
+        c.OPTIM.MAX_EPOCH = 1
+        c.TRAINER.COCOOP.N_CTX = 2
+        c.TPU.DTYPE = "float32"
+        c.TPU.MULTIHOST_SLICED_LOADER = sliced
+        c.freeze()
+        return c
+
+    tr_s = build_trainer(mm_cfg(True))
+    b_s = next(iter(tr_s.train_loader))
+    assert b_s["_local"], "expected sliced exemplar batch"
+    assert b_s["img"].shape[0] == 16, b_s["img"].shape  # 4 local classes
+    loss_mm_s = tr_s.forward_backward(b_s)["loss"]
+
+    tr_f = build_trainer(mm_cfg(False))
+    b_f = next(iter(tr_f.train_loader))
+    assert not b_f.get("_local") and b_f["img"].shape[0] == 32
+    loss_mm_f = tr_f.forward_backward(b_f)["loss"]
+    assert abs(loss_mm_s - loss_mm_f) < 1e-5, (loss_mm_s, loss_mm_f)
+
+    print(
+        f"MHOK {loss1:.6f} {loss2:.6f} {loss3:.6f} {checksum:.4f} "
+        f"{loss_mm_s:.6f}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
