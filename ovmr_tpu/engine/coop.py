@@ -46,6 +46,13 @@ from ovmr_tpu.text import tokenize
 
 @TRAINER_REGISTRY.register()
 class CoOp(TrainerBase):
+    def build_data_manager(self):
+        from ovmr_tpu.data.manager import DataManager
+
+        # multi-host: stage-2 batches are plain image rows — eligible
+        # for per-host sliced decode
+        return DataManager(self.cfg, allow_local_batches=True)
+
     def build_model(self):
         cfg = self.cfg
         self.dtype = _dtype_from_cfg(cfg)
@@ -260,8 +267,22 @@ class CoOp(TrainerBase):
         images = jnp.asarray(batch["img"], self.dtype)
         labels = jnp.asarray(batch["label"].astype(np.int32))
         prompt_ind = int(self.py_rng.integers(0, 3)) if self.n_cls > 400 else 0
+        # multi-host sliced batch: this process decoded only its rows
+        local = bool(batch.get("_local", False)) and jax.process_count() > 1
+        if local and self.mesh is None:
+            raise RuntimeError(
+                "sliced multi-host batch without a mesh — set TPU.MESH.DATA "
+                "!= 1 or disable TPU.MULTIHOST_SLICED_LOADER"
+            )
         step = self._step
-        if self.mesh is not None:
+        if local:
+            from ovmr_tpu.parallel import shard_batch_local
+
+            images = shard_batch_local(self.mesh, images)
+            labels = shard_batch_local(self.mesh, labels)
+            if not self._tp:
+                step = self._step_sharded
+        elif self.mesh is not None:
             # the batch shards over 'data' only — divisibility by the data
             # axis is the requirement, not the full device count. Ragged
             # tail batches run replicated (loudly). The step differs by
