@@ -252,23 +252,34 @@ class DataManager:
             import jax
 
             samp = cfg.DATALOADER.TRAIN_X.SAMPLER
+            # the RESOLVED data axis must exist and tile evenly across
+            # processes, or a local block would not cover this process's
+            # addressable shard of the global batch
+            data_ax = cfg.TPU.MESH.DATA
+            if data_ax == -1:
+                data_ax = jax.device_count() // max(cfg.TPU.MESH.MODEL, 1)
+            nproc = jax.process_count()
+            # K_TRANSFORMS > 1 slices ONLY for the class-grouped exemplar
+            # path (MM_CLS_OP reshapes [num_cls, n_ins*k] row-wise); the
+            # K-pair SSL/DA trainers split variants host-side and must
+            # see the full batch
+            k_ok = cfg.DATALOADER.K_TRANSFORMS == 1 or (
+                samp == "RandomClassSampler" and allow_local_batches == "class"
+            )
             if (
-                jax.process_count() > 1
-                and cfg.TPU.MESH.DATA != 1
+                nproc > 1
+                and data_ax > 1
+                and data_ax % nproc == 0
                 and tfm_train_strong is None
                 and not cfg.DATALOADER.RETURN_IMG0
                 and not bool(cfg.TEXT_ONLY)
                 and samp != "RandomDomainSampler"
-                and (samp == "RandomClassSampler"
-                     or cfg.DATALOADER.K_TRANSFORMS == 1)
+                and k_ok
             ):
-                data_ax = cfg.TPU.MESH.DATA
-                if data_ax == -1:
-                    data_ax = jax.device_count() // max(cfg.TPU.MESH.MODEL, 1)
-                mult = max(data_ax, jax.process_count())
+                mult = max(data_ax, nproc)
                 if samp == "RandomClassSampler":
                     mult *= max(cfg.DATALOADER.TRAIN_X.N_INS, 1)
-                self._local_block = (jax.process_index(), jax.process_count())
+                self._local_block = (jax.process_index(), nproc)
                 self._local_multiple = mult
 
         tfm_train = build_transform(cfg, is_train=True)

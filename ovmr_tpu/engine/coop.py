@@ -264,25 +264,30 @@ class CoOp(TrainerBase):
         self.opt_state = set_lr(self.opt_state, self.lr_table[self.epoch])
 
     def forward_backward(self, batch):
-        images = jnp.asarray(batch["img"], self.dtype)
-        labels = jnp.asarray(batch["label"].astype(np.int32))
         prompt_ind = int(self.py_rng.integers(0, 3)) if self.n_cls > 400 else 0
-        # multi-host sliced batch: this process decoded only its rows
+        # multi-host sliced batch: this process decoded only its rows —
+        # assemble the global batch straight from the HOST arrays (no
+        # device round trip)
         local = bool(batch.get("_local", False)) and jax.process_count() > 1
-        if local and self.mesh is None:
-            raise RuntimeError(
-                "sliced multi-host batch without a mesh — set TPU.MESH.DATA "
-                "!= 1 or disable TPU.MULTIHOST_SLICED_LOADER"
-            )
         step = self._step
         if local:
-            from ovmr_tpu.parallel import shard_batch_local
+            from ovmr_tpu.parallel import place_local_batch
 
-            images = shard_batch_local(self.mesh, images)
-            labels = shard_batch_local(self.mesh, labels)
+            images, labels = place_local_batch(
+                self.mesh,
+                np.asarray(batch["img"], self.dtype),
+                batch["label"].astype(np.int32),
+            )
             if not self._tp:
                 step = self._step_sharded
-        elif self.mesh is not None:
+            self.params, self.opt_state, loss = step(
+                self.params, self.opt_state, self.clip_params, images,
+                labels, prompt_ind,
+            )
+            return {"loss": float(loss), "lr": self.lr_table[self.epoch]}
+        images = jnp.asarray(batch["img"], self.dtype)
+        labels = jnp.asarray(batch["label"].astype(np.int32))
+        if self.mesh is not None:
             # the batch shards over 'data' only — divisibility by the data
             # axis is the requirement, not the full device count. Ragged
             # tail batches run replicated (loudly). The step differs by

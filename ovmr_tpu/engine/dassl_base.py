@@ -298,19 +298,14 @@ class DasslTrainer(TrainerBase):
         a multi-host mesh. ``local=True`` means ``x`` holds only THIS
         process's rows (sliced loader) and the global array is assembled
         cross-process."""
+        if local and jax.process_count() > 1:
+            from ovmr_tpu.parallel import place_local_batch
+
+            # raises loudly when mesh is None (shared guard)
+            return place_local_batch(self.mesh, np.asarray(x), axis=axis)[0]
         if self.mesh is None:
-            if local and jax.process_count() > 1:
-                raise RuntimeError(
-                    "sliced multi-host batch without a mesh — set "
-                    "TPU.MESH.DATA != 1 or disable "
-                    "TPU.MULTIHOST_SLICED_LOADER"
-                )
             return jnp.asarray(x)
         x = np.asarray(x)
-        if local and jax.process_count() > 1:
-            from ovmr_tpu.parallel import shard_batch_local
-
-            return shard_batch_local(self.mesh, x, axis)
         n = self.mesh.shape["data"]
         if x.ndim and x.shape[axis] % n == 0 and x.shape[axis] > 0:
             return from_host(x, batch_sharding(self.mesh, x.ndim, axis))

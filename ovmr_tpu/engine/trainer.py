@@ -489,8 +489,10 @@ class MM_CLS_OP(TrainerBase):
 
         # multi-host: exemplar batches are class-grouped rows — eligible
         # for per-host sliced decode (DataManager aligns slices to
-        # n_ins-sized class groups AND the mesh data axis)
-        return DataManager(self.cfg, allow_local_batches=True)
+        # n_ins-sized class groups AND the mesh data axis; the "class"
+        # marker also permits K_TRANSFORMS>1, which this feed handles
+        # row-wise)
+        return DataManager(self.cfg, allow_local_batches="class")
 
     def build_model(self):
         cfg = self.cfg
@@ -674,6 +676,34 @@ class MM_CLS_OP(TrainerBase):
         split_point = sample_split_point(self.py_rng, n_ins)
         self.rng, sub = jax.random.split(self.rng)
 
+        # multi-host sliced batches: this process decoded only its class
+        # block; the loader guarantees the assembled GLOBAL class count
+        # divides the data axis (local_multiple = n_ins * data axis).
+        # Everything assembles from HOST arrays (no device round trips).
+        local = bool(batch.get("_local", False)) and jax.process_count() > 1
+        step = self.train_step
+        if local:
+            from ovmr_tpu.parallel import place_local_batch
+
+            if not hasattr(self, "_host_prompt_cache"):
+                self._host_prompt_cache = (
+                    np.asarray(self.prompt_tokens),
+                    np.asarray(self.eot_idx),
+                )
+            ptok_np, eot_np = self._host_prompt_cache
+            images_np = (
+                images if images.dtype == np.uint8
+                else np.asarray(images, self.dtype)
+            )
+            images_dev, ptok, eot = place_local_batch(
+                self.mesh, images_np, ptok_np[exemplar_label],
+                eot_np[exemplar_label],
+            )
+            if self.train_step_sharded is not None:
+                step = self.train_step_sharded
+            return self._run_train_step(
+                step, images_dev, ptok, eot, sub, split_point
+            )
         ptok = self.prompt_tokens[jnp.asarray(exemplar_label)]
         eot = self.eot_idx[jnp.asarray(exemplar_label)]
         # uint8 batches stay uint8 (the step augments + normalizes on device)
@@ -682,26 +712,8 @@ class MM_CLS_OP(TrainerBase):
             if images.dtype == np.uint8
             else jnp.asarray(images, self.dtype)
         )
-        # multi-host sliced batches: this process decoded only its class
-        # block; the loader guarantees the assembled GLOBAL class count
-        # divides the data axis (local_multiple = n_ins * data axis)
-        local = bool(batch.get("_local", False)) and jax.process_count() > 1
-        if local and self.mesh is None:
-            raise RuntimeError(
-                "sliced multi-host batch without a mesh — set TPU.MESH.DATA "
-                "!= 1 or disable TPU.MULTIHOST_SLICED_LOADER"
-            )
-        step = self.train_step
         if self.mesh is not None:
-            if local:
-                from ovmr_tpu.parallel import shard_batch_local
-
-                images_dev = shard_batch_local(self.mesh, images_dev)
-                ptok = shard_batch_local(self.mesh, ptok)
-                eot = shard_batch_local(self.mesh, eot)
-                if self.train_step_sharded is not None:
-                    step = self.train_step_sharded
-            elif num_cls % dict(self.mesh.shape)["data"] == 0:
+            if num_cls % dict(self.mesh.shape)["data"] == 0:
                 from ovmr_tpu.parallel import shard_batch
 
                 images_dev = shard_batch(self.mesh, images_dev)
@@ -723,6 +735,11 @@ class MM_CLS_OP(TrainerBase):
                     "divides the mesh"
                 )
 
+        return self._run_train_step(
+            step, images_dev, ptok, eot, sub, split_point
+        )
+
+    def _run_train_step(self, step, images_dev, ptok, eot, sub, split_point):
         self.agg_params, self.opt_state, loss = step(
             self.agg_params,
             self.opt_state,

@@ -3,6 +3,7 @@ from .mesh import (
     build_mesh,
     from_host,
     pad_to_multiple,
+    place_local_batch,
     place_tower_params,
     replicate,
     replicated,
@@ -20,6 +21,7 @@ __all__ = [
     "is_primary",
     "maybe_initialize_distributed",
     "pad_to_multiple",
+    "place_local_batch",
     "place_tower_params",
     "replicate",
     "replicated",

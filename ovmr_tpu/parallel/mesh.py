@@ -74,6 +74,18 @@ def shard_batch(mesh: Mesh, x: jax.Array, axis: int = 0) -> jax.Array:
     return from_host(x, batch_sharding(mesh, np.ndim(x), axis))
 
 
+def place_local_batch(mesh, *arrays, axis: int = 0):
+    """Guarded placement for sliced-loader batches (each array holds only
+    THIS process's rows). One shared guard — a sliced batch without a
+    mesh cannot be assembled and must fail loudly."""
+    if mesh is None:
+        raise RuntimeError(
+            "sliced multi-host batch without a mesh — set TPU.MESH.DATA "
+            "!= 1 or disable TPU.MULTIHOST_SLICED_LOADER"
+        )
+    return tuple(shard_batch_local(mesh, a, axis) for a in arrays)
+
+
 def shard_batch_local(mesh: Mesh, x, axis: int = 0) -> jax.Array:
     """Assemble a GLOBAL batch from this process's LOCAL rows (the
     per-host sliced-loader contract: each host decodes only its
