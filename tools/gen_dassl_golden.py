@@ -200,5 +200,39 @@ dump_block(bott, "bo_after", has3=True, stats_only=True)
 bott.eval()
 data["bo_eval_out"] = t2np(bott(torch.from_numpy(bnx)))
 
+# ------------------------------------------------ D) MMD / Sinkhorn ops
+# deterministic distribution-distance ops golden'd directly against the
+# reference modules (mmd.py, optimal_transport.py). "fast_euclidean" is
+# used for the euclidean golden — the reference's "euclidean" branch
+# calls the long-removed positional addmm_ overload (same math).
+from dassl.modeling.ops import (
+    MaximumMeanDiscrepancy,
+    MinibatchEnergyDistance,
+    SinkhornDivergence,
+)
+
+ox = rng.standard_normal((6, 10)).astype(np.float32)
+oy = rng.standard_normal((7, 10)).astype(np.float32)
+data["op_x"], data["op_y"] = ox, oy
+tx, ty = torch.from_numpy(ox), torch.from_numpy(oy)
+for kt in ("linear", "poly", "rbf"):
+    data[f"op_mmd_{kt}"] = np.float32(
+        MaximumMeanDiscrepancy(kernel_type=kt)(tx, ty).item()
+    )
+data["op_mmd_rbf_norm"] = np.float32(
+    MaximumMeanDiscrepancy(kernel_type="rbf", normalize=True)(tx, ty).item()
+)
+for dm in ("cosine", "fast_euclidean"):
+    data[f"op_sink_{dm}"] = np.float32(
+        SinkhornDivergence(dist_metric=dm, eps=0.01, max_iter=5)(tx, ty).item()
+    )
+ox8 = rng.standard_normal((8, 10)).astype(np.float32)
+oy8 = rng.standard_normal((8, 10)).astype(np.float32)
+data["op_x8"], data["op_y8"] = ox8, oy8
+data["op_med_cosine"] = np.float32(
+    MinibatchEnergyDistance()(torch.from_numpy(ox8), torch.from_numpy(oy8))
+    .item()
+)
+
 np.savez_compressed(OUT, **data)
 print(f"wrote {OUT}: {len(data)} arrays")
