@@ -21,7 +21,6 @@ if _p:
     except Exception:
         pass
 import json
-import os
 import os.path as osp
 
 import numpy as np

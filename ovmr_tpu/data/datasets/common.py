@@ -9,7 +9,6 @@ the train split with a ``split_fewshot/shot_{N}-seed_{S}.pkl`` cache ->
 
 from __future__ import annotations
 
-import os
 import os.path as osp
 import random
 from collections import defaultdict

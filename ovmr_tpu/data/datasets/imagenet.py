@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 import os.path as osp
-import pickle
 from collections import OrderedDict
 
 from ovmr_tpu.utils.tools import listdir_nohidden, mkdir_if_missing

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import math
-import os
 import os.path as osp
 import pickle
 import random

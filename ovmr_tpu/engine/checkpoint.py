@@ -12,7 +12,6 @@ compatibility with reference consumers
 
 from __future__ import annotations
 
-import os
 import os.path as osp
 from typing import Any, Dict, Optional, Tuple
 

@@ -29,7 +29,7 @@ import optax
 from ovmr_tpu.engine import checkpoint as ckpt
 from ovmr_tpu.engine.optimizers import build_optimizer, set_lr
 from ovmr_tpu.engine.schedule import lr_schedule_from_cfg
-from ovmr_tpu.engine.trainer import TRAINER_REGISTRY, TrainerBase
+from ovmr_tpu.engine.trainer import TrainerBase
 from ovmr_tpu.modeling import build_backbone, build_head
 from ovmr_tpu.modeling import ops as F
 from ovmr_tpu.data.prefetch import prefetch_batches
