@@ -194,7 +194,7 @@ class HostDataLoader:
                 k = len(results[0][0])
                 imgs = np.stack([arr for r in results for arr in r[0]])
                 if imgs.dtype != np.uint8:  # uint8 ships as-is (device path)
-                    imgs = imgs.astype(np.float32)
+                    imgs = imgs.astype(np.float32, copy=False)
                 labels = np.repeat(
                     np.asarray([r[1] for r in results], np.int32), k
                 )
@@ -211,14 +211,16 @@ class HostDataLoader:
                 }
                 if self.return_img0:
                     out["img0"] = np.repeat(
-                        np.stack([r[3] for r in results]).astype(np.float32),
+                        np.stack([r[3] for r in results]).astype(
+                            np.float32, copy=False
+                        ),
                         k,
                         axis=0,
                     )
                 if self.transform2 is not None:
                     out["img2"] = np.stack(
                         [arr for r in results for arr in r[5]]
-                    ).astype(np.float32)
+                    ).astype(np.float32, copy=False)
                 yield out
 
 
@@ -229,6 +231,7 @@ class DataManager:
         dataset: Optional[DatasetBase] = None,
         tfm_train_strong=None,
         allow_local_batches: bool = False,
+        local_model_axis: int = 1,
     ):
         self.cfg = cfg
         self.dataset = dataset if dataset is not None else build_dataset(cfg)
@@ -255,9 +258,14 @@ class DataManager:
             # the RESOLVED data axis must exist and tile evenly across
             # processes, or a local block would not cover this process's
             # addressable shard of the global batch
+            # DATA=-1 resolution must match the CALLER's mesh policy:
+            # the OVMR trainers divide by the model axis
+            # (setup_trainer_mesh), the Dassl mesh is data-only
+            # (setup_dassl_mesh ignores MODEL) — the caller passes its
+            # divisor as local_model_axis
             data_ax = cfg.TPU.MESH.DATA
             if data_ax == -1:
-                data_ax = jax.device_count() // max(cfg.TPU.MESH.MODEL, 1)
+                data_ax = jax.device_count() // max(local_model_axis, 1)
             nproc = jax.process_count()
             # K_TRANSFORMS > 1 slices ONLY for the class-grouped exemplar
             # path (MM_CLS_OP reshapes [num_cls, n_ins*k] row-wise); the
@@ -312,6 +320,11 @@ class DataManager:
             seed=seed,
             num_workers=nw,
             k_transforms=cfg.DATALOADER.K_TRANSFORMS,
+            # reference: drop_last = is_train and len >= batch_size
+            # (data_manager.py:107) — the ragged tail batch is dropped,
+            # keeping step shapes static (one compile) and the epoch
+            # counts / iteration-annealed schedules reference-exact
+            drop_last=len(ds.train_x) >= cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
             text_only=bool(cfg.TEXT_ONLY),
             return_img0=bool(cfg.DATALOADER.RETURN_IMG0),
             img0_transform=img0_tfm,

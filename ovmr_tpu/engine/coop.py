@@ -51,7 +51,11 @@ class CoOp(TrainerBase):
 
         # multi-host: stage-2 batches are plain image rows — eligible
         # for per-host sliced decode
-        return DataManager(self.cfg, allow_local_batches=True)
+        return DataManager(
+            self.cfg,
+            allow_local_batches=True,
+            local_model_axis=self.cfg.TPU.MESH.MODEL,
+        )
 
     def build_model(self):
         cfg = self.cfg

@@ -638,16 +638,25 @@ class SE(TrainerXU):
         k = self.cfg.DATALOADER.K_TRANSFORMS
         img = nchw_to_nhwc(batch["img"])
         img = img.reshape((img.shape[0] // k, k) + img.shape[1:])
-        return [self._shard(img[:, i]) for i in range(k)]
+        return img  # host-side [B, k, ...]; callers shard the views used
 
     def forward_backward_xu(self, batch_x, batch_u):
         t_cfg = self.cfg.TRAINER.SE
         global_step = self.batch_idx + self.epoch * self.num_batches
-        img_x = self._split_k(batch_x)[0]
+        # labeled: only the FIRST weak view is consumed — don't transfer
+        # the unused second view
+        img_x = self._shard(self._split_k(batch_x)[:, 0])
         k = self.cfg.DATALOADER.K_TRANSFORMS
         label_x = self._shard(batch_x["label"][::k])
-        img_u1, img_u2 = self._split_k(batch_u)
-        weight_u = F.sigmoid_rampup(global_step, int(t_cfg.RAMPUP))
+        views_u = self._split_k(batch_u)
+        img_u1 = self._shard(views_u[:, 0])
+        img_u2 = self._shard(views_u[:, 1])
+        # reference evaluates the rampup only when CONF_THRE is unset
+        # (the thresholded branch never uses weight_u)
+        weight_u = (
+            0.0 if float(t_cfg.CONF_THRE)
+            else F.sigmoid_rampup(global_step, int(t_cfg.RAMPUP))
+        )
         ema_alpha = min(1 - 1 / (global_step + 1), float(t_cfg.EMA_ALPHA))
         self.state, self.teacher, metrics = self._se_step(
             self.state, self.teacher, img_x, label_x, img_u1, img_u2,
@@ -773,11 +782,17 @@ class M3SDA(TrainerXU):
             labels = label_x.reshape(n_domain, split)
 
             # ---- step A ------------------------------------------------
+            # the reference forwards F once PER DOMAIN (train-mode BN
+            # normalizes each domain sub-batch with its own statistics —
+            # a single concatenated forward would mix them), then the
+            # target batch
             def loss_A(pF, pC):
-                flat_feat, bs = apply_train(
-                    netF, pF, sF["batch_stats"], img_x, rng
-                )
-                feats = flat_feat.reshape(n_domain, split, -1)
+                bs = sF["batch_stats"]
+                fs = []
+                for g in range(n_domain):
+                    f, bs = apply_train(netF, pF, bs, imgs[g], rng)
+                    fs.append(f)
+                feats = jnp.stack(fs)
                 loss_x = ce_pair(pC, doms, feats, labels)
                 feat_u, bs = apply_train(netF, pF, bs, img_u, rng)
                 loss_msda = moment_distance(feats, feat_u)
@@ -792,12 +807,15 @@ class M3SDA(TrainerXU):
             pC = optax.apply_updates(sC["params"], updC)
 
             # ---- step B: classifiers maximize target discrepancy -------
-            flat_feat, bsF = apply_train(netF, pF, bsF, img_x, rng)
-            feats = jax.lax.stop_gradient(
-                flat_feat.reshape(n_domain, split, -1)
-            )
+            # reference order: target forward FIRST, then per-domain
+            # source forwards (all no_grad)
             feat_u, bsF = apply_train(netF, pF, bsF, img_u, rng)
             feat_u = jax.lax.stop_gradient(feat_u)
+            fs = []
+            for g in range(n_domain):
+                f, bsF = apply_train(netF, pF, bsF, imgs[g], rng)
+                fs.append(f)
+            feats = jax.lax.stop_gradient(jnp.stack(fs))
 
             def loss_B(pC):
                 return ce_pair(pC, doms, feats, labels) - dis_pair(

@@ -129,7 +129,11 @@ class Prototypes(nn.Module):
                  train: bool = False):
         if reverse:
             x = F.reverse_grad(x, grad_scaling)
-        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        # torch F.normalize semantics: eps clamp keeps an all-zero row
+        # (dead ReLU features early in training) a zero vector instead
+        # of NaN-ing the whole batch
+        norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+        x = x / jnp.maximum(norm, 1e-12)
         return nn.Dense(self.num_classes, use_bias=False,
                         name="prototypes")(x) / self.temp
 

@@ -492,7 +492,11 @@ class MM_CLS_OP(TrainerBase):
         # n_ins-sized class groups AND the mesh data axis; the "class"
         # marker also permits K_TRANSFORMS>1, which this feed handles
         # row-wise)
-        return DataManager(self.cfg, allow_local_batches="class")
+        return DataManager(
+            self.cfg,
+            allow_local_batches="class",
+            local_model_axis=self.cfg.TPU.MESH.MODEL,
+        )
 
     def build_model(self):
         cfg = self.cfg
