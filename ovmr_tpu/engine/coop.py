@@ -158,15 +158,19 @@ class CoOp(TrainerBase):
         t = jnp.concatenate([prefix, ctx, suffix], axis=1)
         return mm, v, t
 
-    def _text_features(self, params):
+    def _text_features(self, params, clip_params=None):
         from ovmr_tpu.engine.train_step import _text_tower_block_fn
 
         mm, v, t = self._build_prompts(params)
         # differentiated tower: fused VJP remats by construction; the XLA
         # fallback gets per-layer jax.checkpoint (1000-class 3-prompt CoOp
-        # would otherwise save 86 GB of scan intermediates for backward)
+        # would otherwise save 86 GB of scan intermediates for backward).
+        # clip_params threads through from the train step so the step's
+        # operand is the single source of truth for BOTH towers
         enc = partial(
-            jclip.encode_text_embeds, self.clip_params, self.clip_cfg,
+            jclip.encode_text_embeds,
+            self.clip_params if clip_params is None else clip_params,
+            self.clip_cfg,
             attn_fn=self.attn_fn,
             block_fn=_text_tower_block_fn(self.block_fn, self.attn_fn),
         )
@@ -192,7 +196,7 @@ class CoOp(TrainerBase):
             scale = jnp.exp(clip_params["logit_scale"]).astype(jnp.float32)
 
             def loss_fn(p):
-                mm_f, v_f, t_f = self._text_features(p)
+                mm_f, v_f, t_f = self._text_features(p, clip_params)
                 fs = [mm_f, v_f, t_f]
                 if big:
                     f = fs[prompt_ind]
@@ -349,23 +353,16 @@ class CoOp(TrainerBase):
         cfg = self.cfg
         shots = max(cfg.DATASET.NUM_SHOTS, 1)
         dim = self.clip_cfg.embed_dim
-        feats = np.zeros((self.n_cls, shots, dim), np.float32)
-        filled = np.zeros(self.n_cls, bool)
-        for batch in prefetch_batches(self.dm.eval_set_loader):
-            images, labels = batch["img"], batch["label"]
-            usable = (images.shape[0] // shots) * shots
-            if usable == 0:
-                continue
-            f = self._features(self.clip_params, images[:usable]).reshape(
-                -1, shots, dim
-            )
-            lab = labels[:usable].reshape(-1, shots)[:, 0]
-            feats[lab] = f
-            filled[lab] = True
-        if not filled.all():  # not a bare assert: must survive python -O
-            raise RuntimeError(
-                f"classes missing exemplars: {np.where(~filled)[0]}"
-            )
+        from ovmr_tpu.engine.trainer import collect_exemplar_features
+
+        feats = collect_exemplar_features(
+            self.dm.eval_set_loader, self._features, self.clip_params,
+            self.n_cls, shots, dim,
+        )
+        # round the cross-validation features through the compute dtype —
+        # the reference stores them half precision (``mm_…:224``); same
+        # policy as MM_CLS_OP.generate_classifiers
+        feats = np.asarray(jnp.asarray(feats, self.dtype), np.float32)
 
         scale = float(np.exp(np.asarray(self.clip_params["logit_scale"])))
         flat = feats.reshape(-1, dim)
@@ -389,12 +386,16 @@ class CoOp(TrainerBase):
             np.asarray(f, np.float32)
             for f in self._jit_text_features(self.params)
         )
-        fusion_weight = self.get_fusion_weight(mm_f, v_f, t_f)
+        # the reference computes the fusion weight ONCE and reuses it for
+        # every later eval (``coop_…:348-349`` `if self.fusion_weight is
+        # None`); the classifiers themselves refresh with the current ctx
+        if getattr(self, "_fusion_weight_cache", None) is None:
+            self._fusion_weight_cache = self.get_fusion_weight(mm_f, v_f, t_f)
         self.classifiers = {
             "mm_classifier": mm_f,
             "vision_classifier": v_f,
             "text_classifier": t_f,
-            "fusion_weight": fusion_weight,
+            "fusion_weight": self._fusion_weight_cache,
         }
         print("(eval mode: CoOp fusion)")
 

@@ -78,6 +78,32 @@ def load_or_init_clip(cfg):
     return jax.tree_util.tree_map(np.asarray, params), clip_cfg
 
 
+def collect_exemplar_features(
+    eval_set_loader, features_fn, clip_params, n_cls, shots, dim
+):
+    """Gather ``[n_cls, shots, dim]`` fp32 exemplar features from the
+    eval_set_loader contract (RandomClassSampler with n_ins = shots;
+    reference ``mm_…:214-231``). Shared by MM_CLS_OP classifier
+    generation and CoOp's fusion cross-validation — ONE copy of the
+    truncate/reshape/scatter/completeness logic."""
+    feats = np.zeros((n_cls, shots, dim), np.float32)
+    filled = np.zeros(n_cls, bool)
+    for batch in prefetch_batches(eval_set_loader):
+        images, labels = batch["img"], batch["label"]
+        usable = (images.shape[0] // shots) * shots
+        if usable == 0:
+            continue
+        f = features_fn(clip_params, images[:usable]).reshape(-1, shots, dim)
+        lab = labels[:usable].reshape(-1, shots)[:, 0]
+        feats[lab] = f
+        filled[lab] = True
+    if not filled.all():  # not a bare assert: must survive python -O
+        raise RuntimeError(
+            f"classes missing exemplars: {np.where(~filled)[0]}"
+        )
+    return feats
+
+
 def setup_trainer_mesh(cfg, clip_params, block_fn, attn_fn, label=""):
     """Mesh construction + tensor-parallel policy shared by MM_CLS_OP and
     CoOp at build_model time (docs/DESIGN.md "Tensor parallelism").
@@ -815,24 +841,10 @@ class MM_CLS_OP(TrainerBase):
         n_cls = self.n_cls
         dim = self.clip_cfg.embed_dim
 
-        feats = np.zeros((n_cls, shots, dim), np.float32)
-        filled = np.zeros(n_cls, bool)
-        for batch in prefetch_batches(self.dm.eval_set_loader):
-            images = batch["img"]
-            labels = batch["label"]
-            usable = (images.shape[0] // shots) * shots
-            if usable == 0:
-                continue
-            f = self._features(self.serving_params, images[:usable]).reshape(
-                -1, shots, dim
-            )
-            lab = labels[:usable].reshape(-1, shots)[:, 0]
-            feats[lab] = f
-            filled[lab] = True
-        if not filled.all():  # not a bare assert: must survive python -O
-            raise RuntimeError(
-                f"classes missing exemplars: {np.where(~filled)[0]}"
-            )
+        feats = collect_exemplar_features(
+            self.dm.eval_set_loader, self._features, self.serving_params,
+            n_cls, shots, dim,
+        )
 
         # chunked classifier heads: pad to a multiple of the chunk size and
         # run one compiled program per chunk (bounds text-tower activations

@@ -5,8 +5,11 @@ snapshot — it imports a missing module — but is part of the paper baseline):
 
 - ZeroshotCLIP: per-dataset hand-crafted prompt template
   (``CUSTOM_TEMPLATES``), one text feature per class;
-- ZeroshotCLIP2: 80-template prompt ensembling — features averaged over
-  templates THEN normalized (reference ``zsclip.py:63-99``).
+- ZeroshotCLIP2: prompt ensembling over IMAGENET_TEMPLATES_SELECT (7
+  templates; the reference keeps the 80-template IMAGENET_TEMPLATES
+  commented out) plus the dataset's custom template — EXCEPT for
+  ImageNet, which the reference skips (``zsclip.py:67-83``). Features
+  are averaged over templates THEN normalized.
 """
 
 from __future__ import annotations
@@ -106,8 +109,13 @@ class ZeroshotCLIP(TrainerBase):
 @TRAINER_REGISTRY.register()
 class ZeroshotCLIP2(ZeroshotCLIP):
     """Prompt-ensembling variant: SELECT templates + the dataset template
-    (reference ``zsclip.py:63-99`` adds the custom template to the ensemble)."""
+    (reference ``zsclip.py:63-99`` adds the custom template to the
+    ensemble — EXCEPT for ImageNet, ``zsclip.py:82-83``)."""
 
     def get_templates(self):
-        ds_template = CUSTOM_TEMPLATES.get(self.cfg.DATASET.NAME, "a photo of a {}.")
-        return list(IMAGENET_TEMPLATES_SELECT) + [ds_template]
+        templates = list(IMAGENET_TEMPLATES_SELECT)
+        if self.cfg.DATASET.NAME != "ImageNet":
+            templates.append(
+                CUSTOM_TEMPLATES.get(self.cfg.DATASET.NAME, "a photo of a {}.")
+            )
+        return templates
