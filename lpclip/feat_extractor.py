@@ -102,6 +102,7 @@ def main(args):
         loader.batch_size,
         unit_norm=False,  # the reference dumps raw visual features
         block_fn=block_fn,
+        u8_normalize=("normalize" in cfg.INPUT.TRANSFORMS),
     )
 
     from ovmr_tpu.data.prefetch import prefetch_batches

@@ -207,10 +207,13 @@ class DatasetBase:
         self.test = test or []
         self.eval_set = eval_set if eval_set is not None else self.train_x
 
-        self.num_classes = self._count_classes(self.train_x or self.test)
-        self.lab2cname, self.classnames = self._label_bookkeeping(
-            (self.train_x or []) + (self.test or [])
-        )
+        # reference derives BOTH from train_x (base_dataset.py
+        # get_num_classes / get_lab2cname); keep the same single source
+        # so len(classnames) can never disagree with num_classes (the
+        # test fallback covers eval-only synthetic datasets)
+        source = self.train_x or self.test
+        self.num_classes = self._count_classes(source)
+        self.lab2cname, self.classnames = self._label_bookkeeping(source)
 
     @staticmethod
     def _count_classes(items) -> int:

@@ -88,6 +88,10 @@ class RandomFullClassSampler:
         for idx, item in enumerate(data_source):
             self.index_by_label[item.label].append(idx)
         self.labels = list(self.index_by_label)
+        # reference samplers.py asserts the class count covers one batch
+        assert len(self.labels) >= self.ncls_per_batch, (
+            f"{len(self.labels)} classes < {self.ncls_per_batch} per batch"
+        )
 
     def epoch_indices(self, rng: np.random.Generator) -> np.ndarray:
         per_label = {}
@@ -134,6 +138,15 @@ class RandomDomainSampler:
             stop = False
             for di in chosen:
                 pool = remaining[self.domains[di]]
+                if len(pool) < self.n_img_per_domain:
+                    # only reachable when a domain STARTS with fewer than
+                    # n_img_per_domain images — the reference's
+                    # random.sample raises there too; a silent short group
+                    # would corrupt the [n_domain, K] batch structure
+                    raise ValueError(
+                        f"domain {self.domains[di]} has {len(pool)} images, "
+                        f"needs {self.n_img_per_domain} per batch"
+                    )
                 out.extend(pool[: self.n_img_per_domain])
                 del pool[: self.n_img_per_domain]
                 if len(pool) < self.n_img_per_domain:

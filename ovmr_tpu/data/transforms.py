@@ -48,11 +48,14 @@ def normalize(arr: np.ndarray, mean: Sequence[float], std: Sequence[float]) -> n
 
 
 def resize_smaller_edge(img: Image.Image, size: int, interp=BICUBIC) -> Image.Image:
+    # torchvision Resize(int) computes the long edge with int() TRUNCATION
+    # (_compute_resized_output_size), not rounding — a one-pixel difference
+    # shifts the subsequent center crop on common sizes (e.g. 320x240)
     w, h = img.size
     if w <= h:
-        nw, nh = size, max(int(round(h * size / w)), size)
+        nw, nh = size, max(int(h * size / w), size)
     else:
-        nw, nh = max(int(round(w * size / h)), size), size
+        nw, nh = max(int(w * size / h), size), size
     return img.resize((nw, nh), interp)
 
 
@@ -153,12 +156,27 @@ class Transform:
         return f"Transform({self.description})"
 
 
+AVAI_CHOICES = frozenset({
+    "random_flip", "random_resized_crop", "normalize", "instance_norm",
+    "random_crop", "random_translation", "center_crop", "cutout",
+    "imagenet_policy", "cifar10_policy", "svhn_policy", "randaugment",
+    "randaugment_fixmatch", "randaugment2", "gaussian_noise", "colorjitter",
+    "randomgrayscale", "gaussian_blur", "augmix",
+})
+
+
 def build_transform(
     cfg, is_train: bool = True, choices=None, uint8: bool = False
 ) -> Transform:
     if cfg.INPUT.NO_TRANSFORM:
         return None
     choices = list(choices if choices is not None else cfg.INPUT.TRANSFORMS)
+    for choice in choices:  # reference transforms.py:231 asserts this
+        if choice not in AVAI_CHOICES:
+            raise ValueError(
+                f"unknown transform choice {choice!r}; available: "
+                f"{sorted(AVAI_CHOICES)}"
+            )
     size = tuple(cfg.INPUT.SIZE)
     interp = INTERP[cfg.INPUT.INTERPOLATION]
     mean, std = cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD
@@ -183,6 +201,8 @@ def build_transform(
             arr = to_chw_float(img)
             if "normalize" in choices:
                 arr = normalize(arr, mean, std)
+            if "instance_norm" in choices:  # reference transforms.py:495-526
+                arr = instance_norm(arr)
             return arr
 
         return Transform(test_fn, f"test resize+crop {size}")
@@ -200,7 +220,9 @@ def build_transform(
     policies = _build_policy_stages(cfg, choices)
     crop_padding = cfg.INPUT.CROP_PADDING
     cutout_n, cutout_len = cfg.INPUT.CUTOUT_N, cfg.INPUT.CUTOUT_LEN
-    rgs_p, gb_p, gb_k = cfg.INPUT.RGS_P, cfg.INPUT.GB_P, cfg.INPUT.GB_K
+    # INPUT.GB_K (kernel size) is intentionally unused: the PIL gaussian
+    # blur is sigma-parameterized (round-3 decision) — do not close over it
+    rgs_p, gb_p = cfg.INPUT.RGS_P, cfg.INPUT.GB_P
 
     def train_fn(img: Image.Image, rng) -> np.ndarray:
         if "augmix" in choices:
@@ -298,6 +320,11 @@ def random_crop(
         img = _ImageOps.expand(img, border=padding, fill=0)
     w, h = img.size
     th, tw = size
+    if w < tw or h < th:  # torchvision RandomCrop raises; PIL would
+        raise ValueError(  # silently zero-fill the out-of-bounds crop
+            f"required crop size {(th, tw)} larger than padded input "
+            f"size {(h, w)}"
+        )
     if w == tw and h == th:
         return img
     left = rng.randint(0, max(w - tw, 0))

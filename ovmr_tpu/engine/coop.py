@@ -265,6 +265,7 @@ class CoOp(TrainerBase):
             # encode (stage-2 eval sets are small — cheap path)
             mesh=self.mesh if self._tp else None,
             block_fn=self.block_fn,
+            u8_normalize=("normalize" in self.cfg.INPUT.TRANSFORMS),
         )
 
     # ------------------------------------------------------------------

@@ -164,7 +164,7 @@ def setup_trainer_mesh(cfg, clip_params, block_fn, attn_fn, label=""):
 
 def make_feature_extractor(
     clip_cfg, attn_fn, dtype, mean, std, batch_size, mesh=None,
-    unit_norm=True, block_fn=None,
+    unit_norm=True, block_fn=None, u8_normalize=True,
 ):
     """Returns encode(clip_params, images_np) -> fp32 features [n, D]
     (L2-normalized unless unit_norm=False — e.g. the lpclip feature dump
@@ -176,6 +176,12 @@ def make_feature_extractor(
     shard over the 'data' axis (embarrassingly parallel encode)."""
     from ovmr_tpu.ops.preprocess import normalize_u8
 
+    # uint8 transfers must replicate the FLOAT pipeline exactly: when the
+    # config's transforms omit "normalize", the device side only scales
+    # to [0, 1] (mean 0 / std 1) — otherwise the transfer format would
+    # silently change eval numerics
+    if not u8_normalize:
+        mean, std = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
     mean, std = tuple(mean), tuple(std)
     post = l2_normalize if unit_norm else (lambda x: x)
 
@@ -646,6 +652,7 @@ class MM_CLS_OP(TrainerBase):
             cfg.DATALOADER.TEST.BATCH_SIZE,
             mesh=self.mesh,
             block_fn=self.block_fn,
+            u8_normalize=("normalize" in cfg.INPUT.TRANSFORMS),
         )
         self.rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 1)
         self.py_rng = np.random.default_rng(max(cfg.SEED, 0))

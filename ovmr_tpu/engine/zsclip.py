@@ -94,6 +94,7 @@ class ZeroshotCLIP(TrainerBase):
                 cfg.DATALOADER.TEST.BATCH_SIZE,
                 mesh=self.mesh,
                 block_fn=self.block_fn,
+                u8_normalize=("normalize" in cfg.INPUT.TRANSFORMS),
             )
         print("(eval mode: zero-shot)")
 

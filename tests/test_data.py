@@ -144,7 +144,9 @@ def test_test_transform_matches_torchvision_semantics():
         (np.random.RandomState(1).rand(240, 320, 3) * 255).astype(np.uint8)
     )
     out = resize_smaller_edge(img, 224)
-    assert min(out.size) == 224 and out.size == (299, 224)
+    # torchvision Resize(224) on 320x240: long edge = int(224*320/240) =
+    # 298 (TRUNCATION, not rounding — _compute_resized_output_size)
+    assert min(out.size) == 224 and out.size == (298, 224)
     crop = center_crop(out, (224, 224))
     assert crop.size == (224, 224)
     arr = normalize(to_chw_float(crop), CLIP_MEAN, CLIP_STD)
