@@ -158,7 +158,7 @@ class CoOp(TrainerBase):
         t = jnp.concatenate([prefix, ctx, suffix], axis=1)
         return mm, v, t
 
-    def _text_features(self, params, clip_params=None):
+    def _text_features(self, params, clip_params=None, block_fn=None):
         from ovmr_tpu.engine.train_step import _text_tower_block_fn
 
         mm, v, t = self._build_prompts(params)
@@ -166,13 +166,19 @@ class CoOp(TrainerBase):
         # fallback gets per-layer jax.checkpoint (1000-class 3-prompt CoOp
         # would otherwise save 86 GB of scan intermediates for backward).
         # clip_params threads through from the train step so the step's
-        # operand is the single source of truth for BOTH towers
+        # operand is the single source of truth for BOTH towers.
+        # `block_fn` overrides for shard_map contexts (the per-chip TP
+        # block, whose custom VJP remats by construction).
         enc = partial(
             jclip.encode_text_embeds,
             self.clip_params if clip_params is None else clip_params,
             self.clip_cfg,
             attn_fn=self.attn_fn,
-            block_fn=_text_tower_block_fn(self.block_fn, self.attn_fn),
+            block_fn=(
+                block_fn
+                if block_fn is not None
+                else _text_tower_block_fn(self.block_fn, self.attn_fn)
+            ),
         )
         shift = self.voken_len
         mm_f = l2_normalize(enc(mm, self.eot_idx + shift))
@@ -186,17 +192,19 @@ class CoOp(TrainerBase):
         big = self.n_cls > 400
 
         def local_step(params, opt_state, clip_params, images, labels,
-                       prompt_ind, axis=None):
+                       prompt_ind, axis=None, block_fn=None):
             feats = l2_normalize(
                 jclip.encode_image(
                     clip_params, self.clip_cfg, images, attn_fn=self.attn_fn,
-                    block_fn=self.block_fn,
+                    block_fn=block_fn if block_fn is not None else self.block_fn,
                 )
             ).astype(jnp.float32)
             scale = jnp.exp(clip_params["logit_scale"]).astype(jnp.float32)
 
             def loss_fn(p):
-                mm_f, v_f, t_f = self._text_features(p, clip_params)
+                mm_f, v_f, t_f = self._text_features(
+                    p, clip_params, block_fn=block_fn
+                )
                 fs = [mm_f, v_f, t_f]
                 if big:
                     f = fs[prompt_ind]
@@ -228,23 +236,35 @@ class CoOp(TrainerBase):
         # feasible
         from ovmr_tpu.engine.trainer import setup_trainer_mesh
 
+        from ovmr_tpu.engine.trainer import tp_seam_tools
+
         (self.mesh, self._tp, self.clip_params, self.block_fn,
          self.attn_fn) = setup_trainer_mesh(
             self.cfg, self.clip_params, self.block_fn, self.attn_fn,
-            label="CoOp",
+            label="CoOp", clip_cfg=self.clip_cfg,
         )
-        if self.mesh is not None and not self._tp:
+        self._tp_block_fn, self._clip_specs = tp_seam_tools(
+            self.mesh, self._tp, self.clip_params
+        )
+        if self.mesh is not None and self._tp != "gspmd":
             from jax.sharding import PartitionSpec as P
             from jax import shard_map
+
+            # TP-pallas: same shard_map region manual over BOTH axes —
+            # tower shards enter per clip_specs and the per-chip TP block
+            # (fused kernels on each head/hidden shard, fp32 psum over
+            # 'model') replaces the single-chip block
+            clip_in = self._clip_specs if self._tp == "pallas" else P()
+            smap_block = self._tp_block_fn  # None on the data-only mesh
 
             @partial(jax.jit, static_argnames=("prompt_ind",))
             def sharded_step(params, opt_state, clip_params, images,
                              labels, prompt_ind):
                 fn = shard_map(
                     partial(local_step, prompt_ind=prompt_ind,
-                            axis="data"),
+                            axis="data", block_fn=smap_block),
                     mesh=self.mesh,
-                    in_specs=(P(), P(), P(), P("data"), P("data")),
+                    in_specs=(P(), P(), clip_in, P("data"), P("data")),
                     out_specs=(P(), P(), P()),
                     check_vma=False,
                 )
@@ -266,6 +286,8 @@ class CoOp(TrainerBase):
             mesh=self.mesh if self._tp else None,
             block_fn=self.block_fn,
             u8_normalize=("normalize" in self.cfg.INPUT.TRANSFORMS),
+            tp_block_fn=self._tp_block_fn,
+            clip_specs=self._clip_specs,
         )
 
     # ------------------------------------------------------------------
@@ -287,7 +309,7 @@ class CoOp(TrainerBase):
                 np.asarray(batch["img"], self.dtype),
                 batch["label"].astype(np.int32),
             )
-            if not self._tp:
+            if self._tp != "gspmd":
                 step = self._step_sharded
             self.params, self.opt_state, loss = step(
                 self.params, self.opt_state, self.clip_params, images,
@@ -309,7 +331,7 @@ class CoOp(TrainerBase):
 
                 images = shard_batch(self.mesh, images)
                 labels = shard_batch(self.mesh, labels)
-                if not self._tp:
+                if self._tp != "gspmd":
                     step = self._step_sharded
             elif not getattr(self, "_warned_unsharded", False):
                 self._warned_unsharded = True

@@ -157,6 +157,7 @@ def make_sharded_train_step(
     attn_fn=attention_xla,
     augment: Optional[dict] = None,
     block_fn=None,
+    clip_specs=None,
 ):
     """Multi-chip train step as an explicit shard_map over the 'data' axis
     (replaces GSPMD auto-partitioning of :func:`make_train_step`; required
@@ -171,6 +172,15 @@ def make_sharded_train_step(
       - loss and aggregator grads ``pmean`` over 'data'; the adam update
         runs replicated (identical on every chip).
 
+    Tensor parallelism: with ``clip_specs`` (the split-qkv PartitionSpec
+    tree, ``parallel.clip_pspecs``) the same region is manual over BOTH
+    mesh axes — tower block leaves enter as 'model' shards and ``block_fn``
+    must be the per-chip TP block (``ops.block_fused_tp.make_tp_block``),
+    which runs the fused kernels on each head/hidden shard and psums the
+    fp32 partials over 'model'. Aggregator math and the update stay
+    replicated over 'model' (identical inputs on every model chip — the
+    dropout rng folds over 'data' only, deliberately).
+
     Returns step(agg_params, opt_state, clip_params, images, ptok, eot,
     vis_tokens, rng, split_point) taking GLOBAL arrays; images et al. may be
     pre-placed with a 'data' sharding or passed as host arrays.
@@ -179,6 +189,8 @@ def make_sharded_train_step(
     from jax.sharding import PartitionSpec as P
 
     n_dev = mesh.shape["data"]
+    if clip_specs is None:
+        clip_specs = P()
 
     def local_fn(agg_params, opt_state, clip_params, images, ptok, eot,
                  vis_tokens, rng, split_point):
@@ -263,7 +275,7 @@ def make_sharded_train_step(
             partial(local_fn, split_point=split_point),
             mesh=mesh,
             in_specs=(
-                P(), P(), P(),  # agg, opt, clip: replicated
+                P(), P(), clip_specs,  # agg, opt, clip (TP: 'model' shards)
                 P("data"), P("data"), P("data"),  # images, ptok, eot
                 P(), P(),  # vis_tokens, rng
             ),

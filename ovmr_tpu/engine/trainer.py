@@ -104,22 +104,34 @@ def collect_exemplar_features(
     return feats
 
 
-def setup_trainer_mesh(cfg, clip_params, block_fn, attn_fn, label=""):
+def setup_trainer_mesh(cfg, clip_params, block_fn, attn_fn, label="",
+                       clip_cfg=None):
     """Mesh construction + tensor-parallel policy shared by MM_CLS_OP and
     CoOp at build_model time (docs/DESIGN.md "Tensor parallelism").
 
-    Returns ``(mesh, tp, clip_params, block_fn, attn_fn)``:
+    Returns ``(mesh, tp, clip_params, block_fn, attn_fn)`` where ``tp`` is
+    ``False`` (no model axis), ``"pallas"`` or ``"gspmd"`` (both truthy):
 
     - one visible device with a ``MODEL > 1`` config warns loudly and runs
       un-sharded (mesh None) — the user should not believe TP is active;
     - multi-device with ``DATA != 1`` or ``MODEL > 1`` builds the
       ('data','model') mesh (``DATA=1`` alone opts out; pure TP still
       needs the mesh);
-    - a model axis > 1 takes the plain-jit GSPMD tensor-parallel route:
-      the fused Pallas block AND the Pallas attention kernel have no SPMD
-      partitioning rule (GSPMD would silently gather the batch around
-      them), so both gate off loudly to their XLA paths, and the frozen
-      tower params TP-place (Megatron-style MLP split).
+    - ``tp == "pallas"`` (model axis > 1, a ``clip_cfg`` whose head counts
+      and widths divide it, float towers): the towers convert to the
+      split-qkv layout and TP-place per leaf
+      (:mod:`ovmr_tpu.ops.block_fused_tp`); the shard_map seams (sharded
+      train step, eval encode, classifier generation) run the fused Pallas
+      kernels PER CHIP on each head/hidden shard with fp32 partial psums
+      over 'model', and the returned ``block_fn`` is the GSPMD-safe
+      split-layout XLA block (with per-layer remat) for the plain-jit
+      fallback paths;
+    - ``tp == "gspmd"`` (non-dividing head counts, int8 serving, or no
+      ``clip_cfg``): the legacy route — the fused Pallas block AND the
+      Pallas attention kernel gate off loudly to their XLA paths (neither
+      has an SPMD partitioning rule; GSPMD would silently gather the
+      batch around them) and the frozen tower params TP-place
+      (Megatron-style MLP split).
     """
     prefix = f"{label} " if label else ""
     if jax.device_count() == 1 and cfg.TPU.MESH.MODEL > 1:
@@ -138,8 +150,39 @@ def setup_trainer_mesh(cfg, clip_params, block_fn, attn_fn, label=""):
         print(f"{prefix}data-parallel mesh: {dict(mesh.shape)}")
         return mesh, False, clip_params, block_fn, attn_fn
 
+    msize = dict(mesh.shape)["model"]
+    pallas_tp = (
+        clip_cfg is not None
+        and not cfg.TPU.INT8
+        and clip_cfg.transformer_heads % msize == 0
+        and clip_cfg.transformer_width % msize == 0
+        and (
+            clip_cfg.is_resnet
+            or (
+                clip_cfg.vision_heads % msize == 0
+                and clip_cfg.vision_width % msize == 0
+            )
+        )
+    )
+    if pallas_tp:
+        from ovmr_tpu.ops.block_fused_tp import (
+            split_clip_qkv,
+            tp_gspmd_block_remat,
+        )
+        from ovmr_tpu.parallel import place_tower_params
+
+        clip_params = place_tower_params(mesh, split_clip_qkv(clip_params))
+        print(
+            f"{prefix}tensor-parallel mesh {dict(mesh.shape)}: split-QKV "
+            "towers; the shard_map seams run the fused Pallas kernels per "
+            "chip (head-split attention + hidden-split MLP, fp32 psum over "
+            "'model'); plain-jit fallbacks use the GSPMD split-layout XLA "
+            "block"
+        )
+        return mesh, "pallas", clip_params, tp_gspmd_block_remat, attention_xla
+
     gated = []
-    if block_fn is not None:
+    if block_fn is not None:  # legacy gspmd TP route below
         block_fn = None
         gated.append("block")
     if attn_fn is not attention_xla:
@@ -159,12 +202,27 @@ def setup_trainer_mesh(cfg, clip_params, block_fn, attn_fn, label=""):
         f"{prefix}tensor-parallel mesh: {dict(mesh.shape)} "
         "(plain jit GSPMD)"
     )
-    return mesh, True, clip_params, block_fn, attn_fn
+    return mesh, "gspmd", clip_params, block_fn, attn_fn
+
+
+def tp_seam_tools(mesh, tp, clip_params):
+    """(tp_block_fn, clip_specs) for the shard_map seams at
+    ``tp == "pallas"`` (else ``(None, None)``): the per-chip TP block
+    (fused Pallas on each head/hidden shard, fp32 psum over 'model') and
+    the split-layout PartitionSpec tree for shard_map in_specs."""
+    if tp != "pallas":
+        return None, None
+    from ovmr_tpu.ops.block_fused_tp import make_tp_block
+    from ovmr_tpu.parallel import clip_pspecs
+
+    msize = dict(mesh.shape)["model"]
+    return make_tp_block(msize), clip_pspecs(clip_params, msize)
 
 
 def make_feature_extractor(
     clip_cfg, attn_fn, dtype, mean, std, batch_size, mesh=None,
     unit_norm=True, block_fn=None, u8_normalize=True,
+    tp_block_fn=None, clip_specs=None,
 ):
     """Returns encode(clip_params, images_np) -> fp32 features [n, D]
     (L2-normalized unless unit_norm=False — e.g. the lpclip feature dump
@@ -185,12 +243,18 @@ def make_feature_extractor(
     mean, std = tuple(mean), tuple(std)
     post = l2_normalize if unit_norm else (lambda x: x)
 
-    # model-parallel meshes take the plain-jit GSPMD route: tower params are
-    # TP-placed (tower_param_shardings) and XLA partitions the matmuls over
-    # 'model'; the Pallas fused blocks have no SPMD rule, so they are gated
-    # off loudly rather than silently gathering the batch around them
+    # model-parallel meshes: with a per-chip TP block (split-qkv towers,
+    # ops.block_fused_tp) the encode runs as a shard_map over BOTH axes —
+    # fused Pallas kernels per chip on each head/hidden shard. Without one
+    # (legacy gspmd TP), plain jit: tower params are TP-placed
+    # (tower_param_shardings), XLA partitions the matmuls over 'model', and
+    # the Pallas fused blocks gate off loudly (no SPMD rule — GSPMD would
+    # silently gather the batch around them).
     tp = mesh is not None and dict(mesh.shape).get("model", 1) > 1
-    if tp and block_fn is not None:
+    tp_pallas = tp and tp_block_fn is not None
+    if tp_pallas:
+        attn_fn, block_fn = attention_xla, tp_block_fn
+    if tp and block_fn is not None and not tp_pallas:
         print(
             "Model-parallel mesh: eval encode routes towers to the XLA "
             "block path (Pallas kernels have no SPMD partitioning rule)"
@@ -203,6 +267,11 @@ def make_feature_extractor(
             "rule)"
         )
         attn_fn = attention_xla
+    if tp_pallas and clip_specs is None:
+        raise ValueError(
+            "tp_block_fn needs clip_specs (the split-layout param "
+            "PartitionSpec tree; parallel.clip_pspecs)"
+        )
 
     # with a mesh, every batch pads up to a multiple of the 'data' axis (the
     # only axis the batch shards over) so the single compiled program always
@@ -234,20 +303,24 @@ def make_feature_extractor(
             )
         )
 
-    if mesh is not None and not tp:
-        # shard_map over 'data': each device encodes its local shard. This
-        # (not plain jit) is what keeps the Pallas kernels per-chip —
+    if mesh is not None and (not tp or tp_pallas):
+        # shard_map: each device encodes its local 'data' shard. This (not
+        # plain jit) is what keeps the Pallas kernels per-chip —
         # pallas_call has no SPMD partitioning rule, so under plain jit
-        # GSPMD would all-gather the batch around it
+        # GSPMD would all-gather the batch around it. The TP-pallas route
+        # is the same region manual over BOTH axes: tower shards per
+        # clip_specs, the per-chip block psums partials over 'model'.
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
+
+        param_specs = clip_specs if tp_pallas else P()
 
         def smap(fn):
             return jax.jit(
                 shard_map(
                     fn,
                     mesh=mesh,
-                    in_specs=(P(), P("data")),
+                    in_specs=(param_specs, P("data")),
                     out_specs=P("data"),
                     check_vma=False,
                 )
@@ -255,8 +328,9 @@ def make_feature_extractor(
 
         f32, u8 = smap(enc_f32), smap(enc_u8)
     else:
-        # single device, or model>1: plain jit — with a TP mesh the batch is
-        # 'data'-placed and params 'model'-placed, and GSPMD partitions both
+        # single device, or legacy gspmd TP: plain jit — with a TP mesh the
+        # batch is 'data'-placed and params 'model'-placed, and GSPMD
+        # partitions both
         f32, u8 = jax.jit(enc_f32), jax.jit(enc_u8)
 
     def place(x):
@@ -608,18 +682,24 @@ class MM_CLS_OP(TrainerBase):
                 out_dtype=self.dtype,
             )
         # mesh-parallel placement whenever more than one device is visible
-        # (shared policy: setup_trainer_mesh — TP gates the Pallas block
-        # AND attention kernels to XLA and TP-places the tower params)
+        # (shared policy: setup_trainer_mesh — TP-pallas splits the towers
+        # and keeps fused kernels per chip inside the shard_map seams;
+        # legacy gspmd TP gates the Pallas kernels to XLA)
         self.train_step_sharded = None
         (self.mesh, self._tp, self.clip_params, self.block_fn,
          self.attn_fn) = setup_trainer_mesh(
-            cfg, self.clip_params, self.block_fn, self.attn_fn
+            cfg, self.clip_params, self.block_fn, self.attn_fn,
+            clip_cfg=self.clip_cfg,
         )
-        if self.mesh is not None and not self._tp:
+        self._tp_block_fn, self._clip_specs = tp_seam_tools(
+            self.mesh, self._tp, self.clip_params
+        )
+        if self.mesh is not None and self._tp != "gspmd":
             # explicit shard_map step: classifiers all_gather over ICI,
             # grads pmean, fused Pallas kernels per chip (pallas_call
             # has no GSPMD rule, so plain jit couldn't keep them
-            # sharded)
+            # sharded). TP-pallas adds the 'model' axis: tower shards per
+            # clip_specs, per-chip TP block psums over 'model'.
             from ovmr_tpu.engine.train_step import make_sharded_train_step
 
             self.train_step_sharded = make_sharded_train_step(
@@ -629,18 +709,23 @@ class MM_CLS_OP(TrainerBase):
                 dropout=0.1,
                 attn_fn=self.attn_fn,
                 augment=augment,
-                block_fn=self.block_fn,
+                block_fn=(
+                    self._tp_block_fn if self._tp == "pallas"
+                    else self.block_fn
+                ),
+                clip_specs=self._clip_specs,
             )
         # single-program step: single chip, and the fallback for ragged
         # batches whose class count doesn't divide the mesh (XLA block
-        # there — GSPMD would gather around Pallas kernels)
+        # there — GSPMD would gather around Pallas kernels; under
+        # TP-pallas the GSPMD-safe split-layout XLA block)
         self.train_step = make_train_step(
             self.clip_cfg,
             self.optimizer,
             dropout=0.1,
             attn_fn=self.attn_fn,
             augment=augment,
-            block_fn=self.block_fn if self.mesh is None else None,
+            block_fn=self.block_fn if (self.mesh is None or self._tp) else None,
         )
 
         self._features = make_feature_extractor(
@@ -653,6 +738,8 @@ class MM_CLS_OP(TrainerBase):
             mesh=self.mesh,
             block_fn=self.block_fn,
             u8_normalize=("normalize" in cfg.INPUT.TRANSFORMS),
+            tp_block_fn=self._tp_block_fn,
+            clip_specs=self._clip_specs,
         )
         self.rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 1)
         self.py_rng = np.random.default_rng(max(cfg.SEED, 0))
@@ -934,24 +1021,34 @@ class MM_CLS_OP(TrainerBase):
         """jit `fn`, sharding every arg past the first `n_replicated` over
         the mesh 'data' axis (class-axis parallelism for the generation
         chunks; shard_map — not plain jit — keeps the Pallas kernels
-        per-chip, same rationale as make_feature_extractor)."""
+        per-chip, same rationale as make_feature_extractor). Arg 0 is
+        always the CLIP params: under TP-pallas they enter with their
+        split-layout 'model' shards and `fn` must use the per-chip TP
+        block (self._seam_block_fn)."""
         if self.mesh is None:
             return jax.jit(fn)
-        if dict(self.mesh.shape).get("model", 1) > 1:
-            # TP route: towers are GSPMD-partitioned over 'model' (params
-            # TP-placed in build_model, block_fn gated to the XLA path);
-            # plain jit lets XLA shard the class chunks over 'data' from
-            # the operand placement (_place_classes)
+        tp = dict(self.mesh.shape).get("model", 1) > 1
+        if tp and self._tp != "pallas":
+            # legacy gspmd TP: towers are GSPMD-partitioned over 'model'
+            # (params TP-placed in build_model, block_fn gated to the XLA
+            # path); plain jit lets XLA shard the class chunks over 'data'
+            # from the operand placement (_place_classes)
             return jax.jit(fn)
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
+
+        clip_spec = self._clip_specs if tp else P()
 
         def wrapper(*args):
             n_data = len(args) - n_replicated
             return shard_map(
                 fn,
                 mesh=self.mesh,
-                in_specs=tuple([P()] * n_replicated + [P("data")] * n_data),
+                in_specs=tuple(
+                    [clip_spec]
+                    + [P()] * (n_replicated - 1)
+                    + [P("data")] * n_data
+                ),
                 out_specs=P("data"),
                 check_vma=False,
             )(*args)
@@ -964,12 +1061,19 @@ class MM_CLS_OP(TrainerBase):
         return shard_batch(self.mesh, x) if self.mesh is not None else x
 
     @property
+    def _seam_block_fn(self):
+        """Block fn for code INSIDE the shard_map seams: the per-chip TP
+        block under TP-pallas (params arrive as 'model' shards there),
+        else the regular block_fn."""
+        return self._tp_block_fn if self._tp == "pallas" else self.block_fn
+
+    @property
     def _jit_text_classifier(self):
         if not hasattr(self, "_jit_text_classifier_fn"):
             self._jit_text_classifier_fn = self._shard_over_classes(
                 lambda p, tok: ovmr.text_classifier(
                     p, self.clip_cfg, tok, attn_fn=self.attn_fn,
-                    block_fn=self.block_fn,
+                    block_fn=self._seam_block_fn,
                 ),
                 n_replicated=1,
             )
@@ -997,7 +1101,7 @@ class MM_CLS_OP(TrainerBase):
                     vis_embeds,
                     eot,
                     attn_fn=self.attn_fn,
-                    block_fn=self.block_fn,
+                    block_fn=self._seam_block_fn,
                 )
 
             self._jit_heads_fn = self._shard_over_classes(heads, n_replicated=2)

@@ -54,11 +54,17 @@ class ZeroshotCLIP(TrainerBase):
         )
         # same mesh policy as the training trainers: eval encode shards
         # over 'data' (shard_map keeps per-chip Pallas); model>1 TP-places
-        # the towers and gates the Pallas kernels to XLA
+        # the towers (split-QKV + per-chip kernels inside the shard_map
+        # eval seam when divisible, else the legacy gated-XLA GSPMD route)
+        from ovmr_tpu.engine.trainer import tp_seam_tools
+
         (self.mesh, self._tp, self.clip_params, self.block_fn,
          self.attn_fn) = setup_trainer_mesh(
             cfg, self.clip_params, self.block_fn, self.attn_fn,
-            label="ZeroshotCLIP",
+            label="ZeroshotCLIP", clip_cfg=self.clip_cfg,
+        )
+        self._tp_block_fn, self._clip_specs = tp_seam_tools(
+            self.mesh, self._tp, self.clip_params
         )
 
         classnames = [c.replace("_", " ") for c in self.dm.dataset.classnames]
@@ -95,6 +101,8 @@ class ZeroshotCLIP(TrainerBase):
                 mesh=self.mesh,
                 block_fn=self.block_fn,
                 u8_normalize=("normalize" in cfg.INPUT.TRANSFORMS),
+                tp_block_fn=self._tp_block_fn,
+                clip_specs=self._clip_specs,
             )
         print("(eval mode: zero-shot)")
 

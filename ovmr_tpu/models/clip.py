@@ -109,6 +109,23 @@ TINY_RN = CLIPConfig(
     transformer_layers=2,
 )
 
+# test-scale TP config: like TINY but with vision_width 128 so BOTH towers'
+# head counts (2) divide a model axis of 2 — the smallest shape where the
+# split-QKV TP-pallas route engages (TINY's single vision head cannot
+# head-split, so it exercises the legacy gspmd TP route instead)
+TINY_TP = CLIPConfig(
+    embed_dim=64,
+    image_resolution=32,
+    vision_layers=2,
+    vision_width=128,
+    vision_patch_size=16,
+    context_length=77,
+    vocab_size=49408,
+    transformer_width=64,
+    transformer_heads=2,
+    transformer_layers=2,
+)
+
 # test-scale config: tiny everything, exercised against torch goldens
 TINY = CLIPConfig(
     embed_dim=64,
@@ -161,6 +178,7 @@ CONFIGS = {
     "RN50x16": RN50x16,
     "RN50x64": RN50x64,
     "TINY": TINY,
+    "TINY_TP": TINY_TP,
     "TINY_RN": TINY_RN,
 }
 

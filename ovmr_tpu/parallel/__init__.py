@@ -1,5 +1,6 @@
 from .mesh import (
     batch_sharding,
+    clip_pspecs,
     build_mesh,
     from_host,
     pad_to_multiple,
@@ -16,6 +17,7 @@ from .multihost import is_primary, maybe_initialize_distributed
 
 __all__ = [
     "batch_sharding",
+    "clip_pspecs",
     "build_mesh",
     "from_host",
     "is_primary",

@@ -111,9 +111,69 @@ def pad_to_multiple(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+# packed-qkv (legacy GSPMD-only TP) shards only the Megatron MLP split;
+# the split-qkv TP-pallas layout shards every block matmul
+_PACKED_TP_NAMES = ("c_fc_w", "c_fc_b", "c_proj_w")
+
+
+def _is_split_layout(params) -> bool:
+    """True when the tree carries split-qkv blocks (TP-pallas layout)."""
+    found = [False]
+
+    def look(path, leaf):
+        if getattr(path[-1], "key", None) == "w_q":
+            found[0] = True
+        return leaf
+
+    jax.tree_util.tree_map_with_path(look, params)
+    return found[0]
+
+
+def _tp_pspec(path, leaf, msize, split: bool) -> P:
+    """'model'-axis PartitionSpec for one tower leaf, by name.
+
+    Split-qkv layout (TP-pallas route, ``ops.block_fused_tp.TP_BLOCK_AXES``):
+    w_q/w_k/w_v column shards, w_out/c_proj_w row shards, c_fc column,
+    biases with their producing matmul; packed layout (legacy GSPMD-only
+    route) keeps the Megatron MLP-only split."""
+    name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    if msize <= 1 or not hasattr(leaf, "shape"):
+        return P()
+    if not split and name not in _PACKED_TP_NAMES:
+        return P()
+    from ovmr_tpu.ops.block_fused_tp import TP_BLOCK_AXES
+
+    if name in TP_BLOCK_AXES and any(
+        getattr(p, "key", None) == "blocks" for p in path
+    ):
+        axis = TP_BLOCK_AXES[name]
+        if axis is None:
+            return P()
+        # leading dim is the stacked layer axis
+        dim = 1 + axis
+        if leaf.shape[dim] % msize == 0:
+            spec = [None] * leaf.ndim
+            spec[dim] = "model"
+            return P(*spec)
+    return P()
+
+
+def clip_pspecs(params, msize: int):
+    """PartitionSpec pytree for CLIP params (shard_map in_specs): split-qkv
+    block leaves shard over 'model' per ``_tp_pspec``; everything else
+    replicates (over the MANUAL axes — 'data'-sharded batch args are the
+    caller's separate specs)."""
+    split = _is_split_layout(params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _tp_pspec(path, leaf, msize, split), params
+    )
+
+
 def tower_param_shardings(mesh: Mesh, params):
     """Tensor-parallel shardings for CLIP tower params over the 'model'
-    axis (Megatron-style MLP split: c_fc column-parallel, c_proj
+    axis. Split-qkv trees (TP-pallas route) shard per
+    ``ops.block_fused_tp.TP_BLOCK_AXES``; packed trees keep the
+    Megatron-style MLP-only split (c_fc column-parallel, c_proj
     row-parallel; XLA/GSPMD inserts the reduce automatically). Everything
     else replicates, so with model=1 this is plain replication.
 
@@ -122,17 +182,10 @@ def tower_param_shardings(mesh: Mesh, params):
       c_proj_w [L, 4D, D] -> shard 4D (contracted dim, row-parallel).
     """
     msize = mesh.shape["model"]
+    split = _is_split_layout(params)
 
     def spec_for(path, leaf):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if msize > 1 and hasattr(leaf, "shape"):
-            if name == "c_fc_w" and leaf.shape[-1] % msize == 0:
-                return NamedSharding(mesh, P(None, None, "model"))
-            if name == "c_fc_b" and leaf.shape[-1] % msize == 0:
-                return NamedSharding(mesh, P(None, "model"))
-            if name == "c_proj_w" and leaf.shape[1] % msize == 0:
-                return NamedSharding(mesh, P(None, "model", None))
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _tp_pspec(path, leaf, msize, split))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 

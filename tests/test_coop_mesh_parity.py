@@ -16,7 +16,7 @@ import numpy as np
 from ovmr_tpu.utils.defaults import get_cfg_default
 
 
-def base_cfg(tmp, tag):
+def base_cfg(tmp, tag, backbone="TINY"):
     c = get_cfg_default()
     c.OUTPUT_DIR = str(tmp / f"out_{tag}")
     c.SEED = 1
@@ -29,7 +29,7 @@ def base_cfg(tmp, tag):
     c.DATALOADER.TRAIN_X.BATCH_SIZE = 16  # divisible by the 8-device mesh
     c.DATALOADER.TEST.BATCH_SIZE = 16
     c.DATALOADER.NUM_WORKERS = 2
-    c.MODEL.BACKBONE.NAME = "TINY"
+    c.MODEL.BACKBONE.NAME = backbone
     c.OPTIM.MAX_EPOCH = 1
     c.TRAINER.NAME = "CoOp"
     c.TRAINER.COOP.N_CTX = 2
@@ -132,6 +132,56 @@ def test_coop_tp_step_matches_single_program(tmp_path, capsys):
     summary = t_tp.forward_backward(ragged)
     assert np.isfinite(summary["loss"])
     assert "runs replicated over 'data'" in capsys.readouterr().out
+
+
+def test_coop_tp_pallas_step_matches_single_program(tmp_path, capsys):
+    """TINY_TP + MODEL>1 takes the TP-pallas route: split-QKV towers, the
+    shard_map step stays (per-chip TP block, psums over 'model') and must
+    reproduce the single program — step, eval classifiers, inference."""
+    from ovmr_tpu.engine import register_all_trainers
+    from ovmr_tpu.engine.trainer import build_trainer
+
+    register_all_trainers()
+    c_tp = base_cfg(tmp_path, "tpp", backbone="TINY_TP")
+    c_tp.TPU.MESH.DATA = 4
+    c_tp.TPU.MESH.MODEL = 2
+    c_one = base_cfg(tmp_path, "tpp_one", backbone="TINY_TP")
+    c_one.TPU.MESH.DATA = 1
+
+    t_tp = build_trainer(c_tp)
+    out = capsys.readouterr().out
+    assert "split-QKV" in out
+    assert t_tp._tp == "pallas"
+    assert dict(t_tp.mesh.shape) == {"data": 4, "model": 2}
+    assert "w_q" in t_tp.clip_params["text"]["blocks"]
+    t_one = build_trainer(c_one)
+    assert t_one.mesh is None
+    np.testing.assert_array_equal(
+        np.asarray(t_tp.params["ctx"]), np.asarray(t_one.params["ctx"])
+    )
+
+    batch = next(iter(t_one.train_loader))
+    s_tp = t_tp.forward_backward(batch)
+    s_one = t_one.forward_backward(batch)
+    np.testing.assert_allclose(s_tp["loss"], s_one["loss"], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(t_tp.params["ctx"]),
+        np.asarray(t_one.params["ctx"]),
+        atol=2e-5,
+        err_msg="CoOp TP-pallas step diverged from the single program",
+    )
+
+    t_tp.prepare_test()
+    t_one.prepare_test()
+    for k in ("mm_classifier", "vision_classifier", "text_classifier",
+              "fusion_weight"):
+        np.testing.assert_allclose(
+            t_tp.classifiers[k], t_one.classifiers[k], atol=2e-5,
+            err_msg=f"TP-pallas eval diverged on {k}",
+        )
+    logits_tp = t_tp.model_inference(batch)
+    logits_one = t_one.model_inference(batch)
+    np.testing.assert_allclose(logits_tp, logits_one, atol=2e-4)
 
 
 def test_coop_data_mesh_ragged_fallback(tmp_path, capsys):
