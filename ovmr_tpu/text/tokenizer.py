@@ -7,10 +7,10 @@ byte<->unicode alphabet, same merge table (loaded from the public
 pre-tokenization regex. Tokenization is host-side, setup-time work; the
 device only ever sees fixed-shape int32 id matrices (see :mod:`.tokenize_fn`).
 
-The reference cleans text with ``ftfy.fix_text``; ftfy is not available in
-this environment so we fall back to NFC normalization, which is equivalent
-for all well-formed inputs (every class name / template in the suite is
-plain ASCII).
+The reference cleans text with ``ftfy.fix_text``; when ftfy is absent we
+fall back to the vendored minimal subset (:mod:`.fix_text` — mojibake
+repair, ligatures, width, quotes, NFC), so byte-mangled inputs tokenize
+to the same ids the reference produces.
 """
 
 from __future__ import annotations
@@ -53,12 +53,14 @@ def byte_to_unicode() -> Dict[int, str]:
 
 
 def _clean_text(text: str) -> str:
-    try:  # ftfy when present, for byte-mangled inputs
+    try:  # real ftfy when present (the reference's exact dependency)
         import ftfy
 
         text = ftfy.fix_text(text)
     except ImportError:
-        text = unicodedata.normalize("NFC", text)
+        from ovmr_tpu.text.fix_text import fix_text
+
+        text = fix_text(text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip()
