@@ -1,11 +1,13 @@
 """Benchmark: OVMR hot paths on one TPU chip. Prints ONE JSON line.
 
-Four metrics, all measured in the same run (no hard-coded constants):
+Metrics, all measured in the same run (no hard-coded constants):
   - eval encode+classify (ViT-B/16 bf16, batch 256)  <- headline value
   - train step (frozen towers + aggregator grad, batch 1536 = 192cls x 8ins)
   - classifier generation (1024 classes x 16 shots, mm+v+t heads + fusion)
   - stage-2 CoOp step (1000 classes, ctx grads through the frozen text
     tower — the Pallas dx backward path)
+  - zoo eval recipes (ViT-L/14 b128, ViT-B/32 b256, RN50 b256) — the
+    per-model kernel routing the docs advertise, regression-guarded
 
 The reference publishes no throughput numbers (BASELINE.json.published = {}),
 so vs_baseline compares the headline against this framework's NAIVE path —
@@ -66,10 +68,10 @@ def main():
         jax.random.normal(key, (n_classes, cfg.embed_dim), jnp.float32)
     )
 
-    def encode_classify(params, images, cls, block):
+    def encode_classify(params, images, cls, block, mcfg=cfg):
         feats = l2_normalize(
             jclip.encode_image(
-                params, cfg, images, attn_fn=attention_xla, block_fn=block
+                params, mcfg, images, attn_fn=attention_xla, block_fn=block
             )
         ).astype(jnp.float32)
         return jnp.sum(jnp.argmax(100.0 * feats @ cls.T, -1))
@@ -233,6 +235,34 @@ def main():
         return loss
 
     t_s2 = sustained_ms(s2_once, iters=4, rounds=3)
+    del s2_images, s2_emb, prefix, suffix
+    gc.collect()
+
+    # ---- zoo eval recipes: every backbone the docs advertise -------------
+    # regression guards for the per-model routing (docs/ROADMAP.md ViT-L /
+    # RN50 sections): ViT-L/14 takes the g=2 attention + g=2 resident-MLP
+    # chunked recipe, ViT-B/32 the standard tiles, RN50 the plain-XLA
+    # ModifiedResNet path (no transformer blocks to fuse)
+    def zoo_eval_ms(name, zbatch):
+        mcfg = jclip.CONFIGS[name]
+        res = mcfg.image_resolution
+        p = jclip.init_params(key, mcfg, dtype=jnp.bfloat16)
+        imgs = jax.random.normal(key, (zbatch, 3, res, res), jnp.bfloat16)
+        cls_ = l2_normalize(
+            jax.random.normal(key, (n_classes, mcfg.embed_dim), jnp.float32)
+        )
+        bf = None if mcfg.is_resnet else block_fn
+        f = jax.jit(
+            lambda p_, x_, c_: encode_classify(p_, x_, c_, bf, mcfg)
+        )
+        t = sustained_ms(lambda: f(p, imgs, cls_), iters=6, rounds=2)
+        del p, imgs, cls_
+        gc.collect()
+        return t
+
+    t_vitl = zoo_eval_ms("ViT-L/14", 128)
+    t_b32 = zoo_eval_ms("ViT-B/32", 256)
+    t_rn50 = zoo_eval_ms("RN50", 256)
 
     result = {
         "metric": (
@@ -253,6 +283,9 @@ def main():
             "classifier_gen_s_per_1024cls": round(gen_s_per_1024, 3),
             "eval_ms_batch256": round(t_fast, 1),
             "stage2_coop_step_ms_1000cls": round(t_s2, 1),
+            "vitl14_eval_ms_batch128": round(t_vitl, 1),
+            "vitb32_eval_ms_batch256": round(t_b32, 1),
+            "rn50_eval_ms_batch256": round(t_rn50, 1),
         },
     }
     print(json.dumps(result))
