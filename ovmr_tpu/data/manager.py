@@ -239,14 +239,21 @@ class DataManager:
         # multi-host per-host sliced decode for the TRAIN loaders: each
         # process decodes only its contiguous block of the identically
         # seeded global batch (placement re-assembles via
-        # shard_batch_local). Only for feed paths that consume batches
-        # row-wise — the caller opts in, and structure-sensitive setups
-        # (strong views, domain-grouped sampling, img0) always decode
-        # globally. `_local_multiple` is the row multiple a batch must
-        # satisfy to slice: the mesh 'data' axis size (so the assembled
-        # global batch always shards), times the per-class group size
-        # under RandomClassSampler (slices never cut a class group; the
-        # feed reshapes [num_cls, n_ins]).
+        # shard_batch_local). Only for feed paths whose HOST-side logic is
+        # row-wise over items — the caller opts in (DomainMix's host-side
+        # global mix opts out via SUPPORTS_LOCAL_BATCHES). Structure that
+        # lives ON DEVICE slices fine: the re-assembled global array is
+        # row-exact, so in-step reshapes (domain groups, K views) see the
+        # identical batch. K_TRANSFORMS / strong views slice per ITEM (the
+        # block is taken from the index stream BEFORE the K expansion, so
+        # a slice never cuts a variant group, and every augment rng is
+        # keyed on the GLOBAL stream position — local rows are
+        # pixel-identical to the full decode). `_local_multiple` is the
+        # ITEM multiple a batch must satisfy to slice: the mesh 'data'
+        # axis size (so the assembled per-view arrays always shard),
+        # times the per-class group size under RandomClassSampler
+        # (slices never cut a class group; the feed reshapes
+        # [num_cls, n_ins]).
         self._local_block = None
         self._local_multiple = 1
         if allow_local_batches and bool(
@@ -267,22 +274,12 @@ class DataManager:
             if data_ax == -1:
                 data_ax = jax.device_count() // max(local_model_axis, 1)
             nproc = jax.process_count()
-            # K_TRANSFORMS > 1 slices ONLY for the class-grouped exemplar
-            # path (MM_CLS_OP reshapes [num_cls, n_ins*k] row-wise); the
-            # K-pair SSL/DA trainers split variants host-side and must
-            # see the full batch
-            k_ok = cfg.DATALOADER.K_TRANSFORMS == 1 or (
-                samp == "RandomClassSampler" and allow_local_batches == "class"
-            )
             if (
                 nproc > 1
                 and data_ax > 1
                 and data_ax % nproc == 0
-                and tfm_train_strong is None
                 and not cfg.DATALOADER.RETURN_IMG0
                 and not bool(cfg.TEXT_ONLY)
-                and samp != "RandomDomainSampler"
-                and k_ok
             ):
                 mult = max(data_ax, nproc)
                 if samp == "RandomClassSampler":
@@ -358,11 +355,7 @@ class DataManager:
             drop_last=len(ds.train_u) >= u_cfg.BATCH_SIZE,
             k_transforms=cfg.DATALOADER.K_TRANSFORMS,
             transform2=tfm_train_strong,
-            local_block=(
-                self._local_block
-                if u_cfg.SAMPLER != "RandomDomainSampler"
-                else None
-            ),
+            local_block=self._local_block,
             local_multiple=self._local_multiple,
         ) if getattr(ds, "train_u", None) else None
 

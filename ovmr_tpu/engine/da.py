@@ -644,13 +644,16 @@ class SE(TrainerXU):
         t_cfg = self.cfg.TRAINER.SE
         global_step = self.batch_idx + self.epoch * self.num_batches
         # labeled: only the FIRST weak view is consumed — don't transfer
-        # the unused second view
-        img_x = self._shard(self._split_k(batch_x)[:, 0])
+        # the unused second view. Sliced multi-host batches hold whole
+        # items, so the host-side [B, k] view split is exact per slice.
+        loc_x = bool(batch_x.get("_local", False))
+        loc_u = bool(batch_u.get("_local", False))
+        img_x = self._shard(self._split_k(batch_x)[:, 0], local=loc_x)
         k = self.cfg.DATALOADER.K_TRANSFORMS
-        label_x = self._shard(batch_x["label"][::k])
+        label_x = self._shard(batch_x["label"][::k], local=loc_x)
         views_u = self._split_k(batch_u)
-        img_u1 = self._shard(views_u[:, 0])
-        img_u2 = self._shard(views_u[:, 1])
+        img_u1 = self._shard(views_u[:, 0], local=loc_u)
+        img_u2 = self._shard(views_u[:, 1], local=loc_u)
         # reference evaluates the rampup only when CONF_THRE is unset
         # (the thresholded branch never uses weight_u)
         weight_u = (
@@ -777,9 +780,14 @@ class M3SDA(TrainerXU):
             return loss / n_domain
 
         @jax.jit
-        def step(sF, sC, img_x, label_x, doms, img_u, rng):
+        def step(sF, sC, img_x, label_x, domain_x, img_u, rng):
             imgs = img_x.reshape((n_domain, split) + img_x.shape[1:])
             labels = label_x.reshape(n_domain, split)
+            # per-group domain ids from the GLOBAL (sharded) domain vector
+            # — computed in-step so sliced multi-host batches never need
+            # the full vector host-side (RandomDomainSampler groups rows
+            # [n_domain, split]; any row of a group carries its id)
+            doms = domain_x.reshape(n_domain, split)[:, 0]
 
             # ---- step A ------------------------------------------------
             # the reference forwards F once PER DOMAIN (train-mode BN
@@ -851,13 +859,8 @@ class M3SDA(TrainerXU):
     def forward_backward_xu(self, batch_x, batch_u):
         img_x, label_x, domain_x = self.parse_batch_train(batch_x)
         img_u, _, _ = self.parse_batch_train(batch_u)
-        doms = jnp.asarray(
-            np.asarray(batch_x["domain"]).reshape(
-                self.n_domain, self.split_batch
-            )[:, 0]
-        )
         sF, sC, metrics = self._m3sda_step(
-            self._models["F"], self._models["C"], img_x, label_x, doms,
+            self._models["F"], self._models["C"], img_x, label_x, domain_x,
             img_u, self.step_rng(),
         )
         self._models["F"], self._models["C"] = sF, sC
@@ -904,7 +907,13 @@ class DAEL(TrainerXU):
         tfm_strong = build_transform(
             cfg, is_train=True, choices=cfg.TRAINER.DAEL.STRONG_TRANSFORMS
         )
-        return DataManager(cfg, tfm_train_strong=tfm_strong)
+        # strong views and domain-grouped batches both slice per host:
+        # rows are globally seeded and the domain-group reshape happens
+        # in-step on the re-assembled global array
+        return DataManager(
+            cfg, tfm_train_strong=tfm_strong,
+            allow_local_batches=type(self).SUPPORTS_LOCAL_BATCHES,
+        )
 
     def build_model(self):
         cfg = self.cfg
@@ -965,7 +974,12 @@ class DAEL(TrainerXU):
             return jnp.stack([expert(params, k, x) for k in range(n_src)])
 
         @jax.jit
-        def step(sF, sE, img_x, img_x2, label_x1h, doms, img_u, img_u2, rng):
+        def step(sF, sE, img_x, img_x2, label_x1h, domain_x, img_u, img_u2,
+                 rng):
+            # per-group domain ids computed in-step from the global
+            # (sharded) vector — sliced multi-host hosts never need the
+            # full vector host-side
+            doms = domain_x.reshape(n_domain, split)[:, 0]
             # pseudo-labels from the most confident expert (frozen nets;
             # the reference's no_grad train forward still advances F's BN
             # running stats — keep them for the update forwards below)
@@ -1054,21 +1068,21 @@ class DAEL(TrainerXU):
         self._dael_step = step
 
     def forward_backward_xu(self, batch_x, batch_u):
-        img_x = self._shard(nchw_to_nhwc(batch_x["img"]))
-        img_x2 = self._shard(nchw_to_nhwc(batch_x["img2"]))
+        loc_x = bool(batch_x.get("_local", False))
+        loc_u = bool(batch_u.get("_local", False))
+        img_x = self._shard(nchw_to_nhwc(batch_x["img"]), local=loc_x)
+        img_x2 = self._shard(nchw_to_nhwc(batch_x["img2"]), local=loc_x)
         label_1h = F.create_onehot(
-            self._shard(batch_x["label"]), self.num_classes
+            self._shard(batch_x["label"], local=loc_x), self.num_classes
         )
-        doms = jnp.asarray(
-            np.asarray(batch_x["domain"]).reshape(
-                self.n_domain, self.split_batch
-            )[:, 0]
+        domain_x = self._shard(
+            np.asarray(batch_x["domain"], np.int32), local=loc_x
         )
-        img_u = self._shard(nchw_to_nhwc(batch_u["img"]))
-        img_u2 = self._shard(nchw_to_nhwc(batch_u["img2"]))
+        img_u = self._shard(nchw_to_nhwc(batch_u["img"]), local=loc_u)
+        img_u2 = self._shard(nchw_to_nhwc(batch_u["img2"]), local=loc_u)
         sF, sE, metrics = self._dael_step(
             self._models["F"], self._models["E"], img_x, img_x2, label_1h,
-            doms, img_u, img_u2, self.step_rng(),
+            domain_x, img_u, img_u2, self.step_rng(),
         )
         self._models["F"], self._models["E"] = sF, sE
         out = {k: float(v) for k, v in metrics.items()}
@@ -1116,7 +1130,12 @@ class CDAC(TrainerXU):
         tfm_strong = build_transform(
             cfg, is_train=True, choices=cfg.TRAINER.CDAC.STRONG_TRANSFORMS
         )
-        return DataManager(cfg, tfm_train_strong=tfm_strong)
+        # K-pair + strong views slice per host (whole items, globally
+        # seeded streams)
+        return DataManager(
+            cfg, tfm_train_strong=tfm_strong,
+            allow_local_batches=type(self).SUPPORTS_LOCAL_BATCHES,
+        )
 
     def build_model(self):
         cfg = self.cfg
@@ -1276,15 +1295,20 @@ class CDAC(TrainerXU):
             self._models["C"]["opt_state"], cfg.OPTIM.LR * lr_multi * factor
         )
 
+        # sliced multi-host batches hold whole items: the [B, k] variant
+        # splits are exact per slice, and the strong stream (img2) is
+        # keyed on global positions — pixel-identical to a full decode
+        loc_x = bool(batch_x.get("_local", False))
+        loc_u = bool(batch_u.get("_local", False))
         xs = self._first_variant(batch_x["img"], k)
-        img_x = self._shard(xs[:, 0])
-        label_x = self._shard(batch_x["label"][::k])
+        img_x = self._shard(xs[:, 0], local=loc_x)
+        label_x = self._shard(batch_x["label"][::k], local=loc_x)
         us = self._first_variant(batch_u["img"], k)
-        img_u = self._shard(us[:, 0])
+        img_u = self._shard(us[:, 0], local=loc_u)
         uss = self._first_variant(batch_u["img2"], k)
-        img_us = self._shard(uss[:, 0])
-        img_us2 = self._shard(uss[:, 1])
-        label_u = self._shard(batch_u["label"][::k])
+        img_us = self._shard(uss[:, 0], local=loc_u)
+        img_us2 = self._shard(uss[:, 1], local=loc_u)
+        label_u = self._shard(batch_u["label"][::k], local=loc_u)
 
         cons_multi = (
             F.sigmoid_rampup(current_itr, int(cfg.TRAINER.CDAC.RAMPUP_ITRS))

@@ -323,7 +323,13 @@ class DAELDG(TrainerX):
         tfm_strong = build_transform(
             cfg, is_train=True, choices=cfg.TRAINER.DAELDG.STRONG_TRANSFORMS
         )
-        return DataManager(cfg, tfm_train_strong=tfm_strong)
+        # strong views and domain-grouped batches both slice per host:
+        # rows are globally seeded and the domain-group reshape happens
+        # in-step on the re-assembled global array
+        return DataManager(
+            cfg, tfm_train_strong=tfm_strong,
+            allow_local_batches=type(self).SUPPORTS_LOCAL_BATCHES,
+        )
 
     def build_model(self):
         cfg = self.cfg
@@ -378,7 +384,11 @@ class DAELDG(TrainerX):
             return expertE.apply({"params": params}, i, x)
 
         @jax.jit
-        def step(sF, sE, img, img2, label_1h, doms, rng):
+        def step(sF, sE, img, img2, label_1h, domain, rng):
+            # per-group domain ids computed in-step from the global
+            # (sharded) vector — sliced multi-host hosts never need the
+            # full vector host-side
+            doms = domain.reshape(n_domain, split)[:, 0]
             imgs = img.reshape((n_domain, split) + img.shape[1:])
             imgs2 = img2.reshape((n_domain, split) + img2.shape[1:])
             labels = label_1h.reshape(n_domain, split, n_cls)
@@ -434,19 +444,18 @@ class DAELDG(TrainerX):
         self._daeldg_step = step
 
     def forward_backward(self, batch):
-        img = self._shard(nchw_to_nhwc(batch["img"]))
-        img2 = self._shard(nchw_to_nhwc(batch["img2"]))
+        loc = bool(batch.get("_local", False))
+        img = self._shard(nchw_to_nhwc(batch["img"]), local=loc)
+        img2 = self._shard(nchw_to_nhwc(batch["img2"]), local=loc)
         label_1h = F.create_onehot(
-            self._shard(batch["label"]), self.num_classes
+            self._shard(batch["label"], local=loc), self.num_classes
         )
-        doms = jnp.asarray(
-            np.asarray(batch["domain"]).reshape(
-                self.n_domain, self.split_batch
-            )[:, 0]
+        domain = self._shard(
+            np.asarray(batch["domain"], np.int32), local=loc
         )
         sF, sE, metrics = self._daeldg_step(
-            self._models["F"], self._models["E"], img, img2, label_1h, doms,
-            self.step_rng(),
+            self._models["F"], self._models["E"], img, img2, label_1h,
+            domain, self.step_rng(),
         )
         self._models["F"], self._models["E"] = sF, sE
         out = {k: float(v) for k, v in metrics.items()}

@@ -253,18 +253,26 @@ class MixMatch(TrainerXU):
 
     def _split_k(self, batch):
         """[B*K, ...] adjacent-variant layout -> [K, B, ...] NHWC
-        (batch dim 1 shards over the mesh 'data' axis)."""
+        (batch dim 1 shards over the mesh 'data' axis). Sliced multi-host
+        batches hold whole ITEMS (the loader slices the index stream
+        before the K expansion), so the local reshape is exact and the
+        global [K, B] assembles along dim 1."""
         k = self.cfg.DATALOADER.K_TRANSFORMS
         img = nchw_to_nhwc(batch["img"])
         bk = img.shape[0]
         img = img.reshape((bk // k, k) + img.shape[1:])
-        return self._shard(np.moveaxis(img, 1, 0), axis=1)
+        return self._shard(
+            np.moveaxis(img, 1, 0), axis=1,
+            local=bool(batch.get("_local", False)),
+        )
 
     def forward_backward_xu(self, batch_x, batch_u):
         k = self.cfg.DATALOADER.K_TRANSFORMS
         # labeled: first augmented view only (reference batch_x["img"][0])
         img_x = self._split_k(batch_x)[0]
-        label_x = self._shard(batch_x["label"][::k])
+        label_x = self._shard(
+            batch_x["label"][::k], local=bool(batch_x.get("_local", False))
+        )
         imgs_u = self._split_k(batch_u)
         global_step = self.batch_idx + self.epoch * self.num_batches
         weight_u = float(self.cfg.TRAINER.MIXMATCH.WEIGHT_U) * F.linear_rampup(
@@ -293,7 +301,13 @@ class FixMatch(TrainerXU):
         tfm_strong = build_transform(
             cfg, is_train=True, choices=cfg.TRAINER.FIXMATCH.STRONG_TRANSFORMS
         )
-        return DataManager(cfg, tfm_train_strong=tfm_strong)
+        # strong views slice per host like the weak ones: img2 rng is
+        # keyed on the GLOBAL stream position, so local rows are
+        # pixel-identical to a full decode
+        return DataManager(
+            cfg, tfm_train_strong=tfm_strong,
+            allow_local_batches=type(self).SUPPORTS_LOCAL_BATCHES,
+        )
 
     def _build_steps(self):
         net, tx = self.net, self.tx
@@ -362,12 +376,14 @@ class FixMatch(TrainerXU):
         self.train_step = step
 
     def forward_backward_xu(self, batch_x, batch_u):
-        img_x = self._shard(nchw_to_nhwc(batch_x["img"]))
-        img_x2 = self._shard(nchw_to_nhwc(batch_x["img2"]))
-        label_x = self._shard(batch_x["label"])
-        img_u = self._shard(nchw_to_nhwc(batch_u["img"]))
-        img_u2 = self._shard(nchw_to_nhwc(batch_u["img2"]))
-        label_u = self._shard(batch_u["label"])
+        loc_x = bool(batch_x.get("_local", False))
+        loc_u = bool(batch_u.get("_local", False))
+        img_x = self._shard(nchw_to_nhwc(batch_x["img"]), local=loc_x)
+        img_x2 = self._shard(nchw_to_nhwc(batch_x["img2"]), local=loc_x)
+        label_x = self._shard(batch_x["label"], local=loc_x)
+        img_u = self._shard(nchw_to_nhwc(batch_u["img"]), local=loc_u)
+        img_u2 = self._shard(nchw_to_nhwc(batch_u["img2"]), local=loc_u)
+        label_u = self._shard(batch_u["label"], local=loc_u)
         self.state, metrics = self.train_step(
             self.state, img_x, img_x2, label_x, img_u, img_u2, label_u,
             self.step_rng(),

@@ -9,10 +9,14 @@ Runs the real multi-chip paths with host-identical inputs:
    `shard_batch` (make_array_from_callback);
 2. the Dassl Vanilla trainer via `build_trainer` (GSPMD supervised step,
    `setup_dassl_mesh` forming the global mesh) + a `model_inference`
-   fetch through `to_host` (process_allgather).
+   fetch through `to_host` (process_allgather);
+3. MM_CLS_OP class-grouped sliced exemplar loading (sliced == full);
+4. structure-sensitive sliced decode: SE (K-transform pairs), FixMatch
+   (strong/weak views), DAELDG (domain-grouped sampling) — sliced ==
+   full-decode losses.
 
-Prints one line ``MHOK <loss1> <loss2> <infer_checksum>`` for the parent
-to compare across processes.
+Prints one ``MHOK <losses...>`` line for the parent to compare across
+processes.
 """
 
 import os
@@ -176,9 +180,87 @@ def main():
     loss_mm_f = tr_f.forward_backward(b_f)["loss"]
     assert abs(loss_mm_s - loss_mm_f) < 1e-5, (loss_mm_s, loss_mm_f)
 
+    # ---- 4. structure-sensitive trainers: sliced == full decode --------
+    # K-transform pairs (SE), FixMatch-style strong/weak views, and
+    # domain-grouped sampling (DAELDG) all slice per host now: the loader
+    # slices ITEM indices before the K expansion, every augment stream is
+    # keyed on global positions, and the domain-group reshape moved
+    # in-step onto the re-assembled global array. Only DomainMix (host-
+    # side global mix) still decodes globally.
+    os.environ["OVMR_SYNTHETIC"] = "4,8,32"
+
+    def dassl_cfg(trainer, dataset, sliced, tag, **overrides):
+        c = get_cfg_default()
+        c.TRAINER.NAME = trainer
+        c.DATASET.NAME = dataset
+        c.DATASET.ROOT = os.environ["OVMR_MH_DATA"] + "_ds"
+        c.OUTPUT_DIR = tempfile.mkdtemp(prefix=f"ovmr_mh_{tag}_")
+        c.SEED = 1
+        c.INPUT.SIZE = (32, 32)
+        c.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+        c.MODEL.BACKBONE.PRETRAINED = False
+        c.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+        c.DATALOADER.TRAIN_U.BATCH_SIZE = 8
+        c.DATALOADER.TEST.BATCH_SIZE = 8
+        c.DATALOADER.NUM_WORKERS = 0
+        c.OPTIM.MAX_EPOCH = 1
+        c.TPU.MESH.DATA = 8
+        c.TPU.MULTIHOST_SLICED_LOADER = sliced
+        for key, value in overrides.items():
+            node = c
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            node[parts[-1]] = value
+        c.freeze()
+        return c
+
+    def step_xu(cfg, expect_local):
+        tr = build_trainer(cfg)
+        # epoch-loop state normally set by run_epoch (SE's rampup and the
+        # FixMatch schedules read it); one direct step at position 0
+        tr.epoch, tr.batch_idx, tr.num_batches = 0, 0, 1
+        bx = next(iter(tr.dm.train_loader_x))
+        assert bool(bx.get("_local")) == expect_local, (
+            cfg.TRAINER.NAME, bx.get("_local"), expect_local
+        )
+        # dispatch on the trainer FAMILY, not on loader_u presence: DG
+        # trainers (TrainerX) never consume train_u even when the dataset
+        # carries one (and DAELDG's u-sampler config would be invalid)
+        if hasattr(tr, "forward_backward_xu"):
+            bu = next(iter(tr.dm.train_loader_u))
+            return tr.forward_backward_xu(bx, bu)["loss"]
+        return tr.forward_backward(bx)["loss"]
+
+    struct_losses = []
+    cases = [
+        ("SE", "SyntheticDA", {"DATALOADER.K_TRANSFORMS": 2}),
+        ("FixMatch", "SyntheticSSL",
+         {"TRAINER.FIXMATCH.STRONG_TRANSFORMS": ("random_flip", "cutout")}),
+        ("DAELDG", "SyntheticDA",
+         {"DATALOADER.TRAIN_X.SAMPLER": "RandomDomainSampler",
+          "DATALOADER.TRAIN_X.N_DOMAIN": 2,
+          "DATASET.SOURCE_DOMAINS": ("a", "b"),
+          "TRAINER.DAELDG.STRONG_TRANSFORMS": ("random_flip", "cutout")}),
+    ]
+    for trainer_name, dataset, overrides in cases:
+        l_s = step_xu(
+            dassl_cfg(trainer_name, dataset, True, trainer_name.lower(),
+                      **overrides),
+            expect_local=True,
+        )
+        l_f = step_xu(
+            dassl_cfg(trainer_name, dataset, False,
+                      trainer_name.lower() + "f", **overrides),
+            expect_local=False,
+        )
+        assert abs(l_s - l_f) < 1e-5, (trainer_name, l_s, l_f)
+        struct_losses.append(l_s)
+
     print(
         f"MHOK {loss1:.6f} {loss2:.6f} {loss3:.6f} {checksum:.4f} "
-        f"{loss_mm_s:.6f}",
+        f"{loss_mm_s:.6f} "
+        + " ".join(f"{v:.6f}" for v in struct_losses),
         flush=True,
     )
 
