@@ -95,14 +95,30 @@ def main(args):
         block_fn = fused_residual_block
     # handles both float-CHW and uint8-HWC batches (the default eval path
     # ships uint8 and normalizes on device)
-    from ovmr_tpu.engine.trainer import make_feature_extractor
+    from ovmr_tpu.engine.trainer import (
+        make_feature_extractor,
+        setup_trainer_mesh,
+        tp_seam_tools,
+    )
 
+    # shared mesh/TP policy (same as the trainers): multi-device runs
+    # shard batches over 'data' (shard_map keeps the fused kernels
+    # per-chip); MODEL>1 takes the TP-pallas/gspmd routes. Single device
+    # (the reference's regime) is byte-identical to the unsharded path.
+    mesh, tp, clip_params, block_fn, attn_fn = setup_trainer_mesh(
+        cfg, clip_params, block_fn, attn_fn, label="lpclip",
+        clip_cfg=clip_cfg,
+    )
+    tp_block_fn, clip_specs = tp_seam_tools(mesh, tp, clip_params)
     encode = make_feature_extractor(
         clip_cfg, attn_fn, dtype, cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
         loader.batch_size,
+        mesh=mesh,
         unit_norm=False,  # the reference dumps raw visual features
         block_fn=block_fn,
         u8_normalize=("normalize" in cfg.INPUT.TRANSFORMS),
+        tp_block_fn=tp_block_fn,
+        clip_specs=clip_specs,
     )
 
     from ovmr_tpu.data.prefetch import prefetch_batches

@@ -95,3 +95,42 @@ def test_linear_probe_report(feature_dir, tmp_path):
         )
         assert m, f"malformed report line: {line!r}"
         assert 0.0 <= float(m.group(1)) <= 100.0
+
+
+def test_mesh_feature_dump_matches_single_device(feature_dir, tmp_path):
+    """The mesh-aware extractor (shared setup_trainer_mesh policy,
+    batches shard_map'd over 'data') dumps features identical to the
+    single-device run — lpclip scales over the mesh like every other
+    surface."""
+    out = tmp_path / "feats_mesh"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        OVMR_SYNTHETIC="8,12,32",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "lpclip", "feat_extractor.py"),
+            "--root", str(tmp_path / "data"),
+            "--split", "test",
+            "--output-dir", str(out),
+            "--backbone", "TINY",
+            "--seed", "1",
+            "DATASET.NAME", "Synthetic",
+            "INPUT.SIZE", "(32,32)",
+            "DATALOADER.NUM_WORKERS", "2",
+            "TPU.DTYPE", "float32",
+            "TPU.MESH.DATA", "8",
+        ],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "data-parallel mesh" in proc.stdout, proc.stdout[-1000:]
+    got = np.load(out / "Synthetic" / "test.npz")
+    ref = np.load(feature_dir / "test.npz")
+    np.testing.assert_array_equal(got["label_list"], ref["label_list"])
+    np.testing.assert_allclose(
+        got["feature_list"], ref["feature_list"], atol=2e-6, rtol=2e-6
+    )
