@@ -117,16 +117,18 @@ def setup_trainer_mesh(cfg, clip_params, block_fn, attn_fn, label="",
     - multi-device with ``DATA != 1`` or ``MODEL > 1`` builds the
       ('data','model') mesh (``DATA=1`` alone opts out; pure TP still
       needs the mesh);
-    - ``tp == "pallas"`` (model axis > 1, a ``clip_cfg`` whose head counts
-      and widths divide it, float towers): the towers convert to the
-      split-qkv layout and TP-place per leaf
+    - ``tp == "pallas"`` (model axis > 1, a ``clip_cfg`` whose MLP hidden
+      dims divide it, float towers): the towers convert to the split-qkv
+      layout — head counts that don't divide the axis are zero-padded to
+      the next multiple (exact zeros fwd+bwd) — and TP-place per leaf
       (:mod:`ovmr_tpu.ops.block_fused_tp`); the shard_map seams (sharded
       train step, eval encode, classifier generation) run the fused Pallas
       kernels PER CHIP on each head/hidden shard with fp32 partial psums
       over 'model', and the returned ``block_fn`` is the GSPMD-safe
       split-layout XLA block (with per-layer remat) for the plain-jit
       fallback paths;
-    - ``tp == "gspmd"`` (non-dividing head counts, int8 serving, or no
+    - ``tp == "gspmd"`` (int8 serving, ``TPU.TP_SPLIT_QKV False``, a
+      non-dividing MLP hidden dim, or no
       ``clip_cfg``): the legacy route — the fused Pallas block AND the
       Pallas attention kernel gate off loudly to their XLA paths (neither
       has an SPMD partitioning rule; GSPMD would silently gather the
@@ -151,17 +153,17 @@ def setup_trainer_mesh(cfg, clip_params, block_fn, attn_fn, label="",
         return mesh, False, clip_params, block_fn, attn_fn
 
     msize = dict(mesh.shape)["model"]
+    # split-QKV TP needs only the MLP hidden dim (4*width) to divide the
+    # model axis — head counts that don't divide are zero-padded to the
+    # next multiple (ops.block_fused_tp.pad_head_shards, exact zeros)
     pallas_tp = (
         clip_cfg is not None
         and not cfg.TPU.INT8
-        and clip_cfg.transformer_heads % msize == 0
-        and clip_cfg.transformer_width % msize == 0
+        and cfg.TPU.TP_SPLIT_QKV
+        and (4 * clip_cfg.transformer_width) % msize == 0
         and (
             clip_cfg.is_resnet
-            or (
-                clip_cfg.vision_heads % msize == 0
-                and clip_cfg.vision_width % msize == 0
-            )
+            or (4 * clip_cfg.vision_width) % msize == 0
         )
     )
     if pallas_tp:
@@ -171,13 +173,24 @@ def setup_trainer_mesh(cfg, clip_params, block_fn, attn_fn, label="",
         )
         from ovmr_tpu.parallel import place_tower_params
 
-        clip_params = place_tower_params(mesh, split_clip_qkv(clip_params))
+        clip_params = place_tower_params(
+            mesh, split_clip_qkv(clip_params, msize, clip_cfg)
+        )
+        pads = [
+            f"{name} {heads}->{heads + (-heads) % msize}"
+            for name, heads in (
+                ("visual", None if clip_cfg.is_resnet else clip_cfg.vision_heads),
+                ("text", clip_cfg.transformer_heads),
+            )
+            if heads is not None and heads % msize
+        ]
+        pad_note = f" (head-padded: {', '.join(pads)})" if pads else ""
         print(
             f"{prefix}tensor-parallel mesh {dict(mesh.shape)}: split-QKV "
-            "towers; the shard_map seams run the fused Pallas kernels per "
-            "chip (head-split attention + hidden-split MLP, fp32 psum over "
-            "'model'); plain-jit fallbacks use the GSPMD split-layout XLA "
-            "block"
+            f"towers{pad_note}; the shard_map seams run the fused Pallas "
+            "kernels per chip (head-split attention + hidden-split MLP, "
+            "fp32 psum over 'model'); plain-jit fallbacks use the GSPMD "
+            "split-layout XLA block"
         )
         return mesh, "pallas", clip_params, tp_gspmd_block_remat, attention_xla
 

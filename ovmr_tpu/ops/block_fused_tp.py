@@ -18,7 +18,12 @@ single-chip path (:mod:`ovmr_tpu.ops.block_fused`), on its own shard:
 
 Storage contract: TP towers replace the packed ``w_qkv [D, 3D]`` /
 ``b_qkv [3D]`` leaves with ``w_q/w_k/w_v [D, D]`` and ``b_q/b_k/b_v [D]``
-(:func:`split_qkv_blocks`). With q/k/v stored separately, a contiguous
+(:func:`split_qkv_blocks`). Head counts that do not divide the model axis
+(ViT-B's 12 vision heads on model=8, ViT-L's 12 text heads, TINY's 1) are
+zero-padded to the next multiple (:func:`pad_head_shards`) — a padded head
+is exact zeros forward and backward, so no configuration ever has to fall
+back to the kernel-less GSPMD route over head arithmetic. With q/k/v
+stored separately, a contiguous
 'model'-axis shard of each IS a head group — no permutation anywhere, and
 the plain-XLA math on the split layout (:func:`tp_gspmd_block`) is
 bit-identical to the packed-matmul block (same contractions, fp32
@@ -90,9 +95,43 @@ def split_qkv_blocks(blocks: dict) -> dict:
     return out
 
 
-def split_clip_qkv(clip_params: dict) -> dict:
+def pad_head_shards(blocks: dict, head_dim: int, msize: int) -> dict:
+    """Zero-pad the split-qkv head axis so the head count becomes a
+    multiple of ``msize`` (e.g. ViT-B's 12 heads -> 16 on a model=8 axis).
+
+    Exactness: a padded head has zero ``w_k``/``b_k`` (scores = 0, probs
+    uniform) and zero ``w_v``/``b_v`` (head output = probs @ 0 = 0), and its
+    ``w_out`` rows are zero, so its partial-projection contribution is an
+    exact 0 in every dtype. Backward is exact too: dx flows only through
+    the zero ``w_q``/``w_k``/``w_v`` matrices, contributing exact zeros.
+    The pad costs ``(pad_heads/n_head)`` extra attention FLOPs spread over
+    the mesh — far cheaper than forfeiting the fused kernels entirely."""
+    d_attn = blocks["w_q"].shape[-1]
+    n_head = d_attn // head_dim
+    pad = ((-n_head) % msize) * head_dim
+    if pad == 0:
+        return blocks
+    out = dict(blocks)
+    for w, b in (("w_q", "b_q"), ("w_k", "b_k"), ("w_v", "b_v")):
+        out[w] = jnp.pad(
+            blocks[w], [(0, 0)] * (blocks[w].ndim - 1) + [(0, pad)]
+        )
+        out[b] = jnp.pad(
+            blocks[b], [(0, 0)] * (blocks[b].ndim - 1) + [(0, pad)]
+        )
+    wo = blocks["w_out"]
+    out["w_out"] = jnp.pad(wo, [(0, 0)] * (wo.ndim - 2) + [(0, pad), (0, 0)])
+    return out
+
+
+def split_clip_qkv(clip_params: dict, msize: int = 1, cfg=None) -> dict:
     """Split both towers' stacked blocks (ViT visual + text; ResNet visual
-    towers have no transformer blocks and pass through untouched)."""
+    towers have no transformer blocks and pass through untouched).
+
+    With ``msize > 1`` and a ``cfg`` (a :class:`models.clip.CLIPConfig`),
+    each tower whose head count does not divide the model axis is zero-
+    padded to the next multiple (:func:`pad_head_shards`) so a contiguous
+    'model'-axis shard is always a whole head group."""
     out = dict(clip_params)
     for tower in ("visual", "text"):
         t = clip_params.get(tower)
@@ -100,7 +139,15 @@ def split_clip_qkv(clip_params: dict) -> dict:
             "w_qkv" in t["blocks"]
         ):
             t = dict(t)
-            t["blocks"] = split_qkv_blocks(t["blocks"])
+            blocks = split_qkv_blocks(t["blocks"])
+            if msize > 1 and cfg is not None:
+                width, heads = (
+                    (cfg.vision_width, cfg.vision_heads)
+                    if tower == "visual"
+                    else (cfg.transformer_width, cfg.transformer_heads)
+                )
+                blocks = pad_head_shards(blocks, width // heads, msize)
+            t["blocks"] = blocks
             out[tower] = t
     return out
 
@@ -351,7 +398,12 @@ def tp_gspmd_block(x, p, n_head, mask=None):
     ``ops.layers.residual_attention_block`` — q/k/v as three matmuls
     instead of one packed one, identical contractions and fp32
     accumulation. With the split leaves TP-placed, XLA partitions the
-    matmuls over 'model' (Megatron split) automatically."""
+    matmuls over 'model' (Megatron split) automatically.
+
+    ``n_head`` is the model's (unpadded) head count; the effective count is
+    re-derived from the leaf shapes so head-padded layouts
+    (:func:`pad_head_shards` — exact zeros) run unchanged."""
+    n_head = p["w_q"].shape[-1] // (x.shape[-1] // n_head)
     xln = layer_norm(x, p["ln_1_scale"], p["ln_1_bias"])
     q = split_heads(dense(xln, p["w_q"], p["b_q"]), n_head)
     k = split_heads(dense(xln, p["w_k"], p["b_k"]), n_head)
@@ -500,19 +552,31 @@ def make_tp_block(model_size: int, axis: str = "model", interpret: bool = False)
     """Per-chip TP block function for split-layout param SHARDS.
 
     Returns ``block_fn(h, layer_params, n_head, mask)`` with the standard
-    block signature (``n_head`` is the GLOBAL head count; the local shard
-    runs ``n_head // model_size`` heads). Must be called inside a shard_map
-    region manual over `axis` whose in_specs shard the block leaves per
-    :data:`TP_BLOCK_AXES`. Differentiable (recompute VJP, explicit psums).
+    block signature. ``n_head`` is the GLOBAL unpadded head count; it only
+    fixes the head dim (``D // n_head``) — the local head count comes from
+    the shard's own ``w_q`` width, so head-padded layouts
+    (:func:`pad_head_shards`) run the same kernels with exact-zero pad
+    heads. Must be called inside a shard_map region manual over `axis`
+    whose in_specs shard the block leaves per :data:`TP_BLOCK_AXES`.
+    Differentiable (recompute VJP, explicit psums).
     """
 
     def block_fn(h, layer_params, n_head, mask=None):
-        if n_head % model_size:
+        d = h.shape[-1]
+        if d % n_head:
             raise ValueError(
-                f"n_head={n_head} not divisible by model axis {model_size}"
+                f"width {d} not divisible by n_head={n_head}"
+            )
+        head_dim = d // n_head
+        dl = layer_params["w_q"].shape[-1]
+        if dl % head_dim:
+            raise ValueError(
+                f"local q shard width {dl} not divisible by the head dim "
+                f"{head_dim}; split/pad the towers with split_clip_qkv "
+                f"(model axis {model_size})"
             )
         return _tp_block(
-            h, layer_params, n_head // model_size, mask, axis, interpret
+            h, layer_params, dl // head_dim, mask, axis, interpret
         )
 
     return block_fn

@@ -270,6 +270,12 @@ def get_cfg_default() -> CfgNode:
     # (serving only; feature cosine >0.995). Measured NOT faster on v5e at
     # ViT-B shapes (dynamic-quant overhead) — docs/DESIGN.md; default off
     c.TPU.INT8 = False
+    # tensor parallelism (MESH.MODEL > 1): the split-QKV TP-pallas route
+    # keeps the fused Pallas kernels per chip (head-padding any head count
+    # onto the model axis). False forces the legacy plain-jit GSPMD route
+    # (packed towers, Pallas kernels gated to XLA) — a debugging/layout
+    # escape hatch, not a recommended mode
+    c.TPU.TP_SPLIT_QKV = True
     # checkpoint backend for the epoch save/resume cycle: "npz" (default,
     # path-flattened arrays + pointer file, torch-interop) or "orbax"
     # (async-safe per-array chunking for very large/sharded states)

@@ -362,6 +362,14 @@ def _tp_cases():
                 bool(rng.integers(0, 2)),          # masked
             )
         )
+    # non-dividing head counts: the padded route (pad_head_shards zero-pads
+    # the head axis onto the mesh — exact zeros). 3-on-2 = one pad head per
+    # chip pair, 1-on-4 = three pure-pad chips, 6-on-4 = uneven remainder.
+    for msize, d, n_head in ((2, 192, 3), (4, 64, 1), (4, 192, 6)):
+        cases.append((msize, d, n_head,
+                      int(rng.integers(1, 5)),
+                      int(rng.choice([1, 7, 9, 17, 33, 77])),
+                      bool(rng.integers(0, 2))))
     return cases
 
 
@@ -369,13 +377,15 @@ def _tp_cases():
 def test_tp_block_fuzz(msize, d, n_head, b, l, masked):
     """The per-chip TP block (head-split attention, hidden-split MLP,
     fp32 psum seams) matches the single-chip packed block at random
-    splits/shapes — the seam the fixed-shape TP tests don't sweep."""
+    splits/shapes — the seam the fixed-shape TP tests don't sweep.
+    Head counts that don't divide the axis take the zero-padded layout."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ovmr_tpu.ops.block_fused_tp import (
         TP_BLOCK_AXES,
         make_tp_block,
+        pad_head_shards,
         split_qkv_blocks,
     )
     from ovmr_tpu.parallel import build_mesh
@@ -388,6 +398,8 @@ def test_tp_block_fuzz(msize, d, n_head, b, l, masked):
 
     mesh = build_mesh(data=1, model=msize)
     sp = split_qkv_blocks(p)
+    if n_head % msize:
+        sp = pad_head_shards(sp, d // n_head, msize)
     specs = {}
     for name, leaf in sp.items():
         axis = TP_BLOCK_AXES[name]

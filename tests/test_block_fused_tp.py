@@ -21,6 +21,7 @@ from ovmr_tpu.models import clip as jclip
 from ovmr_tpu.ops.block_fused_tp import (
     TP_BLOCK_AXES,
     make_tp_block,
+    pad_head_shards,
     split_clip_qkv,
     split_qkv_blocks,
     tp_gspmd_block,
@@ -57,9 +58,11 @@ def setup():
     return x, p, 2  # n_head=2 divides MSIZE=2 (1 local head per chip)
 
 
-def _run_tp(x, p_packed, n_head, mask=None, interpret=False):
+def _run_tp(x, p_packed, n_head, mask=None, interpret=False, pad=False):
     mesh = build_mesh(data=1, model=MSIZE)
     sp = split_qkv_blocks(p_packed)
+    if pad:
+        sp = pad_head_shards(sp, x.shape[-1] // n_head, MSIZE)
     block = make_tp_block(MSIZE, interpret=interpret)
     fn = shard_map(
         lambda x_, p_: block(x_, p_, n_head, mask),
@@ -126,9 +129,85 @@ def test_tp_block_grad_matches_single_chip(setup, interpret):
 
 
 def test_tp_block_rejects_nondividing_heads(setup):
+    """A head count that doesn't divide the model width is rejected; a
+    non-dividing MODEL-axis head count is the padded route's job, not an
+    error (see the padded tests below)."""
     x, p, _ = setup
     with pytest.raises(ValueError, match="not divisible"):
         make_tp_block(MSIZE)(x, split_qkv_blocks(p), 3)
+
+
+@pytest.mark.parametrize("interpret", [False, True], ids=["xla", "pallas"])
+@pytest.mark.parametrize("masked", [False, True], ids=["nomask", "causal"])
+def test_padded_tp_block_matches_single_chip(setup, interpret, masked):
+    """n_head=1 (TINY's vision tower) does not divide model=2: the head
+    axis zero-pads 1->2 and the per-chip TP block still matches the packed
+    single-chip block exactly — the padded head contributes exact zeros."""
+    x, p, _ = setup
+    n_head = 1  # head dim 64 — indivisible by MSIZE without padding
+    mask = causal_mask(x.shape[1]) if masked else None
+    ref = residual_attention_block(x, p, n_head, mask)
+    got = _run_tp(x, p, n_head, mask=mask, interpret=interpret, pad=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("interpret", [False, True], ids=["xla", "pallas"])
+def test_padded_tp_block_grad_matches_single_chip(setup, interpret):
+    """dx through the padded TP custom VJP == dx through the plain block:
+    the padded head's zero q/k/v matrices contribute exact-zero
+    cotangents."""
+    x, p, _ = setup
+    n_head = 1
+    mask = causal_mask(x.shape[1])
+    cot = jax.random.normal(jax.random.PRNGKey(3), x.shape, x.dtype)
+
+    ref = jax.grad(
+        lambda x_: jnp.vdot(residual_attention_block(x_, p, n_head, mask), cot)
+    )(x)
+
+    mesh = build_mesh(data=1, model=MSIZE)
+    sp = pad_head_shards(split_qkv_blocks(p), x.shape[-1] // n_head, MSIZE)
+    block = make_tp_block(MSIZE, interpret=interpret)
+
+    got = jax.jit(
+        shard_map(
+            jax.grad(lambda x_, p_: jnp.vdot(block(x_, p_, n_head, mask), cot)),
+            mesh=mesh,
+            in_specs=(P(), _leaf_specs(sp)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(x, sp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_padded_gspmd_block_matches_packed(setup):
+    """The split-layout global-view XLA block re-derives the padded head
+    count from the leaf shapes: padded layout == packed block exactly."""
+    x, p, _ = setup
+    n_head = 1
+    ref = residual_attention_block(x, p, n_head)
+    padded = pad_head_shards(split_qkv_blocks(p), x.shape[-1] // n_head, MSIZE)
+    got = tp_gspmd_block(x, padded, n_head)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_split_clip_qkv_pads_only_nondividing_towers():
+    """TINY at msize=2: the 1-head vision tower pads 1->2 (w_q widens by
+    one head dim, w_out gains zero rows); the 2-head text tower is
+    untouched. Without cfg/msize, nothing pads (backward compat)."""
+    params = jclip.init_params(jax.random.PRNGKey(0), jclip.TINY)
+    sp = split_clip_qkv(params, msize=MSIZE, cfg=jclip.TINY)
+    vd = params["visual"]["blocks"]["w_qkv"].shape[-2]
+    assert sp["visual"]["blocks"]["w_q"].shape[-1] == 2 * vd
+    assert sp["visual"]["blocks"]["w_out"].shape[-2] == 2 * vd
+    pad_cols = np.asarray(sp["visual"]["blocks"]["w_q"][..., vd:])
+    assert (pad_cols == 0).all()
+    td = params["text"]["blocks"]["w_qkv"].shape[-2]
+    assert sp["text"]["blocks"]["w_q"].shape[-1] == td
+
+    unpadded = split_clip_qkv(params)
+    assert unpadded["visual"]["blocks"]["w_q"].shape[-1] == vd
 
 
 def test_split_clip_qkv_and_pspecs():

@@ -1,11 +1,13 @@
 """Tensor parallelism through the TRAINER surface (not just the dryrun).
 
-With TPU.MESH.MODEL > 1 the trainer routes towers to the XLA block path
-(the fused Pallas kernels have no SPMD partitioning rule), TP-places the
-frozen tower params (Megatron-style MLP split), and runs generation and
-the train step under plain jit + GSPMD. These tests pin that route on the
-virtual 8-device CPU mesh: same numbers as the single-device program, and
-the gating is loud, not silent. docs/DESIGN.md "Tensor parallelism".
+With TPU.MESH.MODEL > 1 the default route is TP-pallas: split-QKV towers
+(head counts that don't divide the axis are zero-padded — exact zeros),
+per-leaf 'model' shards, and shard_map seams that run the fused Pallas
+kernels per chip. TPU.TP_SPLIT_QKV=False (or INT8 serving) forces the
+legacy packed-tower route: plain jit + GSPMD with both Pallas kernels
+gated loudly to XLA (no SPMD partitioning rule). These tests pin both
+routes on the virtual 8-device CPU mesh: same numbers as the
+single-device program. docs/DESIGN.md "Tensor parallelism".
 """
 
 import os
@@ -16,7 +18,7 @@ import pytest
 from ovmr_tpu.utils.defaults import get_cfg_default
 
 
-def make_trainer(tmp, data, model, tag, backbone="TINY"):
+def make_trainer(tmp, data, model, tag, backbone="TINY", split_qkv=True):
     from ovmr_tpu.engine.trainer import build_trainer
 
     c = get_cfg_default()
@@ -40,15 +42,20 @@ def make_trainer(tmp, data, model, tag, backbone="TINY"):
     c.TPU.DTYPE = "float32"
     c.TPU.MESH.DATA = data
     c.TPU.MESH.MODEL = model
+    c.TPU.TP_SPLIT_QKV = split_qkv
     os.makedirs(c.OUTPUT_DIR, exist_ok=True)
     return build_trainer(c)
 
 
 @pytest.fixture(scope="module")
 def trainers(tmp_path_factory):
+    """Legacy GSPMD TP route, forced via the TPU.TP_SPLIT_QKV=False escape
+    hatch (with head-padding, every head count now takes TP-pallas by
+    default — the packed-tower plain-jit route needs the explicit
+    opt-out)."""
     tmp = tmp_path_factory.mktemp("tp_trainer")
     t_single = make_trainer(tmp, data=1, model=1, tag="single")
-    t_tp = make_trainer(tmp, data=4, model=2, tag="tp")
+    t_tp = make_trainer(tmp, data=4, model=2, tag="tp", split_qkv=False)
     return t_single, t_tp
 
 
@@ -116,11 +123,34 @@ def test_tp_pallas_train_step_runs(tp_pallas_trainers):
     assert not np.array_equal(before, after)
 
 
+def test_padded_tp_pallas_trainer_matches_single_device(trainers, tmp_path):
+    """TINY's 1-head vision tower does NOT divide model=2, yet the default
+    route is still TP-pallas — the head axis zero-pads 1->2
+    (ops.block_fused_tp.pad_head_shards) and classifier generation through
+    the shard_map seams matches the single-device program exactly."""
+    t_single, _ = trainers
+    t_pad = make_trainer(tmp_path, data=4, model=2, tag="pad")
+    assert t_pad._tp == "pallas"
+    assert t_pad.train_step_sharded is not None
+    blk = t_pad.clip_params["visual"]["blocks"]
+    assert "w_q" in blk and "w_qkv" not in blk
+    out_s = t_single.generate_classifiers()
+    out_p = t_pad.generate_classifiers()
+    for key in ("mm_classifier", "vision_classifier", "text_classifier",
+                "fusion_weight"):
+        np.testing.assert_allclose(
+            out_p[key], out_s[key], atol=2e-5,
+            err_msg=f"padded TP-pallas generation diverged on {key}",
+        )
+
+
 def test_tp_trainer_routes_gspmd(trainers):
+    """TPU.TP_SPLIT_QKV=False forces the legacy packed-tower GSPMD route."""
     _, t_tp = trainers
     assert t_tp.mesh is not None
     assert dict(t_tp.mesh.shape) == {"data": 4, "model": 2}
-    # no shard_map step at model>1 — the plain-jit GSPMD step runs instead
+    assert t_tp._tp == "gspmd"
+    # no shard_map step on the legacy route — the plain-jit GSPMD step runs
     assert t_tp.train_step_sharded is None
     # frozen tower params really live TP-sharded over 'model'
     leaf = t_tp.clip_params["visual"]["blocks"]["c_fc_w"]
