@@ -13,7 +13,12 @@ Runs the real multi-chip paths with host-identical inputs:
 3. MM_CLS_OP class-grouped sliced exemplar loading (sliced == full);
 4. structure-sensitive sliced decode: SE (K-transform pairs), FixMatch
    (strong/weak views), DAELDG (domain-grouped sampling) — sliced ==
-   full-decode losses.
+   full-decode losses;
+5. tensor parallelism UNDER multi-host — the pod layout (TP over the
+   in-host interconnect, DP across hosts): MM_CLS_OP on a global
+   data=4 x model=2 mesh takes the TP-pallas route (split-QKV towers,
+   TINY's 1-head vision tower head-padded, cross-process TP placement)
+   with the sliced loader; sliced == full-decode losses.
 
 Prints one ``MHOK <losses...>`` line for the parent to compare across
 processes.
@@ -145,7 +150,7 @@ def main():
     # program as a full decode
     os.environ["OVMR_SYNTHETIC"] = "8,12,32"
 
-    def mm_cfg(sliced):
+    def mm_cfg(sliced, model=1):
         c = get_cfg_default()
         c.TRAINER.NAME = "MM_CLS_OP"
         c.DATASET.NAME = "Synthetic"
@@ -165,6 +170,9 @@ def main():
         c.TRAINER.COCOOP.N_CTX = 2
         c.TPU.DTYPE = "float32"
         c.TPU.MULTIHOST_SLICED_LOADER = sliced
+        if model > 1:
+            c.TPU.MESH.DATA = 8 // model
+            c.TPU.MESH.MODEL = model
         c.freeze()
         return c
 
@@ -257,10 +265,33 @@ def main():
         assert abs(l_s - l_f) < 1e-5, (trainer_name, l_s, l_f)
         struct_losses.append(l_s)
 
+    # ---- 5. tensor parallelism under multi-host (the pod layout) -------
+    # global data=4 x model=2 mesh over 2 processes: TP groups pair
+    # devices INSIDE one process (TP over the in-host interconnect), data
+    # parallelism spans hosts. The TP-pallas route must engage (split-QKV
+    # towers, TINY's 1-head vision tower head-padded, TP placement
+    # assembling cross-process global arrays) and the sliced loader must
+    # reproduce the full-decode step.
+    tr_tp = build_trainer(mm_cfg(True, model=2))
+    assert tr_tp._tp == "pallas", tr_tp._tp
+    assert dict(tr_tp.mesh.shape) == {"data": 4, "model": 2}
+    assert "w_q" in tr_tp.clip_params["visual"]["blocks"]
+    b_tp = next(iter(tr_tp.train_loader))
+    assert b_tp["_local"], "expected sliced exemplar batch under TP"
+    loss_tp_s = tr_tp.forward_backward(b_tp)["loss"]
+    assert np.isfinite(loss_tp_s)
+
+    tr_tpf = build_trainer(mm_cfg(False, model=2))
+    b_tpf = next(iter(tr_tpf.train_loader))
+    assert not b_tpf.get("_local")
+    loss_tp_f = tr_tpf.forward_backward(b_tpf)["loss"]
+    assert abs(loss_tp_s - loss_tp_f) < 1e-5, (loss_tp_s, loss_tp_f)
+
     print(
         f"MHOK {loss1:.6f} {loss2:.6f} {loss3:.6f} {checksum:.4f} "
         f"{loss_mm_s:.6f} "
-        + " ".join(f"{v:.6f}" for v in struct_losses),
+        + " ".join(f"{v:.6f}" for v in struct_losses)
+        + f" {loss_tp_s:.6f}",
         flush=True,
     )
 

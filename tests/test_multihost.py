@@ -4,8 +4,11 @@ model (one process per host) the reference's single-process
 ``nn.DataParallel`` cannot express.
 
 The worker (tests/multihost_worker.py) runs the real code paths: the
-OVMR shard_map train step with cross-process batch assembly, and the
-Dassl Vanilla trainer + `to_host` inference gather. Both processes must
+OVMR shard_map train step with cross-process batch assembly, the
+Dassl Vanilla trainer + `to_host` inference gather, sliced-vs-full
+decode equality for the structure-sensitive trainers, and MM_CLS_OP on
+a data=4 x model=2 TP-pallas mesh (tensor parallelism inside each host,
+data parallelism across hosts — the pod layout). Both processes must
 agree bit-for-bit on the printed losses (the program is global; only
 the feeding is per-process)."""
 
