@@ -183,6 +183,74 @@ def generate_fewshot_dataset(
     return out if len(out) > 1 else out[0]
 
 
+def generate_fewshot_dataset_eval(
+    *splits,
+    num_shots: int = -1,
+    repeat: bool = False,
+    is_seen: bool = True,
+    seed: int = 1,
+    exist_few_shot_train=None,
+):
+    """Few-shot EVAL subsample disjoint from an existing few-shot train set
+    (reference ``datasets/imagenet.py:63-128``; every reference call site is
+    commented out — rebuilt here so the capability exists).
+
+    ``is_seen=False`` is the plain per-class subsample. ``is_seen=True``
+    draws ``num_shots`` items per class whose ``impath`` does NOT appear in
+    ``exist_few_shot_train`` (so eval exemplars never overlap the training
+    shots) and requires every class to hold at least ``2*num_shots`` items.
+    Seeded and deterministic. The reference body crashes if ever called
+    (``items = random.shuffle(items)`` binds None, then iterates it); this
+    implements the evident intent — shuffle in place, then filter.
+    """
+    if num_shots < 1:
+        return list(splits) if len(splits) > 1 else splits[0]
+    rng = random.Random(seed)
+    exist_paths_by_label: Dict[int, set] = {}
+    if exist_few_shot_train is not None:
+        for item in exist_few_shot_train:
+            exist_paths_by_label.setdefault(item.label, set()).add(item.impath)
+    out = []
+    for split in splits:
+        by_class: Dict[int, List[Datum]] = {}
+        for item in split:
+            by_class.setdefault(item.label, []).append(item)
+        sampled = []
+        for label, items in by_class.items():
+            if not is_seen:
+                if len(items) >= num_shots:
+                    sampled.extend(rng.sample(items, num_shots))
+                elif repeat:
+                    sampled.extend(rng.choices(items, k=num_shots))
+                else:
+                    sampled.extend(items)
+                continue
+            if len(items) < 2 * num_shots:
+                raise ValueError(
+                    f"class {label} holds {len(items)} items < "
+                    f"2*num_shots={2 * num_shots}; cannot draw disjoint "
+                    "eval shots (reference: 'there are classes less than "
+                    "2*num_shot!!!')"
+                )
+            if exist_few_shot_train is None:
+                raise ValueError(
+                    "is_seen=True requires exist_few_shot_train (the "
+                    "training shots the eval set must be disjoint from)"
+                )
+            pool = list(items)
+            rng.shuffle(pool)
+            exist = exist_paths_by_label.get(label, set())
+            picked = [it for it in pool if it.impath not in exist][:num_shots]
+            if len(picked) != num_shots:
+                raise ValueError(
+                    f"class {label}: only {len(picked)} items outside the "
+                    f"existing train shots; need {num_shots}"
+                )
+            sampled.extend(picked)
+        out.append(sampled)
+    return out if len(out) > 1 else out[0]
+
+
 # --------------------------------------------------------------------------
 # dataset base
 # --------------------------------------------------------------------------

@@ -48,6 +48,7 @@ class HostDataLoader:
         transform2=None,
         local_block=None,
         local_multiple: int = 1,
+        multi_res=None,
     ):
         # (process_index, process_count) — multi-host per-host sliced
         # decode; None = every process decodes the full global batch.
@@ -77,6 +78,21 @@ class HostDataLoader:
         # the variants adjacently: img [B*K, ...], label repeated K times
         # (reference K_TRANSFORMS, ``data_manager.py:334-344``)
         self.k_transforms = max(1, k_transforms)
+        # batch-level multi-resolution collate (data/multires.py): decodes
+        # RAW images and crops/resizes the whole batch to one per-batch
+        # shape — replaces the per-image transform pipeline wholesale
+        self.multi_res = multi_res
+        if multi_res is not None and (
+            self.k_transforms > 1
+            or transform2 is not None
+            or return_img0
+            or text_only
+        ):
+            raise ValueError(
+                "MULTI_RES_COLLATE replaces the per-image transform "
+                "pipeline; it cannot combine with K_TRANSFORMS>1, strong "
+                "transforms, RETURN_IMG0 or TEXT_ONLY"
+            )
         self._epoch = 0
         self._seed = seed
 
@@ -183,6 +199,32 @@ class HostDataLoader:
                     break
                 sub_idx, pos_off, is_local = self._local_view(batch_idx)
                 epoch = self._epoch - 1
+                if self.multi_res is not None:
+                    # decode RAW images; the collate crops/resizes the
+                    # whole batch to ONE per-batch shape. The batch rng is
+                    # keyed on the GLOBAL batch start (not the local
+                    # slice), so multi-host sliced rows are pixel-identical
+                    # to the corresponding rows of a full decode.
+                    items = [self.data_source[i] for i in sub_idx]
+                    pils = list(
+                        pool.map(lambda it: read_image(it.impath), items)
+                    )
+                    brng = random.Random(
+                        hash((self._seed, epoch, int(start), 11)) & 0xFFFFFFFF
+                    )
+                    yield {
+                        "img": self.multi_res(pils, brng),
+                        "label": np.asarray(
+                            [it.label for it in items], np.int32
+                        ),
+                        "impath": [it.impath for it in items],
+                        "index": np.asarray(sub_idx, np.int64),
+                        "_local": is_local,
+                        "domain": np.asarray(
+                            [it.domain for it in items], np.int32
+                        ),
+                    }
+                    continue
                 results = list(
                     pool.map(
                         lambda args: self._load_one(
@@ -287,6 +329,16 @@ class DataManager:
                 self._local_block = (jax.process_index(), nproc)
                 self._local_multiple = mult
 
+        # opt-in multi-resolution batch collate (reference
+        # data_manager.py:15-67 defines it but never wires it; here
+        # DATALOADER.MULTI_RES_COLLATE True enables it on the train
+        # loaders — see data/multires.py for the TPU shape-set note)
+        multi_res = None
+        if cfg.DATALOADER.get("MULTI_RES_COLLATE", False):
+            from .multires import MultiResCollate
+
+            multi_res = MultiResCollate()
+
         tfm_train = build_transform(cfg, is_train=True)
         # eval transfers ship uint8 by default; on-device normalization is
         # bit-identical to the host path (see ops/preprocess.normalize_u8)
@@ -328,6 +380,7 @@ class DataManager:
             transform2=tfm_train_strong,
             local_block=self._local_block,
             local_multiple=self._local_multiple,
+            multi_res=multi_res,
         ) if ds.train_x else None
 
         # unlabeled loader (DA target domain / SSL unlabeled pool); the
@@ -357,6 +410,7 @@ class DataManager:
             transform2=tfm_train_strong,
             local_block=self._local_block,
             local_multiple=self._local_multiple,
+            multi_res=multi_res,
         ) if getattr(ds, "train_u", None) else None
 
         self.val_loader = HostDataLoader(

@@ -72,6 +72,12 @@ def get_cfg_default() -> CfgNode:
     c.DATALOADER.NUM_WORKERS = 4
     c.DATALOADER.K_TRANSFORMS = 1
     c.DATALOADER.RETURN_IMG0 = False
+    # batch-level multi-resolution collate (reference data_manager.py:15-67
+    # collate_fn_custom — defined there, never wired; opt-in here). Random
+    # per-batch aspect ratio + short side, dims floored to patch multiples;
+    # the ratio comes from a bounded grid so the XLA shape set stays finite
+    # (data/multires.py). Replaces the per-image train transform pipeline.
+    c.DATALOADER.MULTI_RES_COLLATE = False
     c.DATALOADER.COLLATE_FN = "none"
     c.DATALOADER.TRAIN_X = CfgNode()
     c.DATALOADER.TRAIN_X.SAMPLER = "RandomSampler"

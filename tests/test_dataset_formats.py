@@ -104,3 +104,54 @@ def test_reference_split_json_loads(tmp_path):
     assert len(ds.test) == 1
     assert ds.test[0].impath.endswith("Forest/f3.jpg")
     assert osp.exists(ds.test[0].impath)
+
+
+def test_generate_fewshot_dataset_eval():
+    """Disjoint eval-shot sampling (reference datasets/imagenet.py:63-128,
+    dead + crash-buggy there): is_seen=True draws shots whose impath never
+    overlaps the existing train shots, deterministically per seed; thin
+    classes and a missing exist set raise; is_seen=False is the plain
+    subsample."""
+    from ovmr_tpu.data.datum import Datum, generate_fewshot_dataset_eval
+
+    def make(label, n):
+        return [
+            Datum(impath=f"/img/{label}_{i}.jpg", label=label,
+                  classname=f"c{label}")
+            for i in range(n)
+        ]
+
+    pool = make(0, 8) + make(1, 8)
+    train_shots = [pool[0], pool[1], pool[8], pool[9]]  # 2 shots per class
+
+    out = generate_fewshot_dataset_eval(
+        pool, num_shots=2, is_seen=True, seed=3,
+        exist_few_shot_train=train_shots,
+    )
+    assert len(out) == 4
+    train_paths = {d.impath for d in train_shots}
+    assert not train_paths & {d.impath for d in out}
+    for label in (0, 1):
+        assert sum(d.label == label for d in out) == 2
+    # deterministic per seed
+    out2 = generate_fewshot_dataset_eval(
+        pool, num_shots=2, is_seen=True, seed=3,
+        exist_few_shot_train=train_shots,
+    )
+    assert [d.impath for d in out] == [d.impath for d in out2]
+
+    # unseen classes: plain subsample, no exist set needed
+    unseen = generate_fewshot_dataset_eval(
+        make(2, 3), num_shots=2, is_seen=False, seed=1
+    )
+    assert len(unseen) == 2
+
+    # passthrough and error paths
+    assert generate_fewshot_dataset_eval(pool, num_shots=-1) is pool
+    with pytest.raises(ValueError, match="2\\*num_shots"):
+        generate_fewshot_dataset_eval(
+            make(0, 3), num_shots=2, is_seen=True,
+            exist_few_shot_train=train_shots,
+        )
+    with pytest.raises(ValueError, match="exist_few_shot_train"):
+        generate_fewshot_dataset_eval(pool, num_shots=2, is_seen=True)

@@ -1,0 +1,144 @@
+"""Multi-resolution batch collate (reference data_manager.py:15-67,
+``RandomAspectRatioCropResize`` + ``collate_fn_custom`` — dead there,
+live + opt-in here via ``DATALOADER.MULTI_RES_COLLATE``)."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ovmr_tpu.data.multires import CLIP_MEAN, CLIP_STD, MultiResCollate
+
+
+def make_images(n, sizes):
+    rng = np.random.RandomState(0)
+    return [
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8))
+        for (w, h) in sizes[:n]
+    ]
+
+
+def test_dim_math_matches_reference_formula():
+    """The (ratio, short) -> (H, W) map is the reference's exactly:
+    ratio>1: H=short, W=int((H*ratio//14)*14); ratio<=1: W=short,
+    H=int((W/ratio//14)*14)."""
+    mc = MultiResCollate()
+    for _ in range(200):
+        rng = random.Random(_)
+        ratio, h, w = mc.draw_shape(rng)
+        assert h % 14 == 0 and w % 14 == 0
+        if ratio > 1:
+            assert h in mc.short_sizes
+            assert w == int((h * ratio // 14) * 14)
+        else:
+            assert w in mc.short_sizes
+            assert h == int((w / ratio // 14) * 14)
+
+
+def test_ratio_grid_is_log_symmetric_and_optional():
+    mc = MultiResCollate(ratio_bins=9)
+    grid = np.asarray(mc.ratio_grid)
+    assert grid[0] == pytest.approx(0.5) and grid[-1] == pytest.approx(2.0)
+    # log-uniform: 1/r mirrors r
+    np.testing.assert_allclose(grid, 1.0 / grid[::-1], rtol=1e-12)
+    # ratio_bins=0 restores the reference's continuous draw
+    mc0 = MultiResCollate(ratio_bins=0)
+    assert mc0.ratio_grid is None
+    draws = {mc0.draw_shape(random.Random(i))[0] for i in range(50)}
+    assert len(draws) == 50  # continuous
+
+
+def test_collate_batch_shape_flip_and_normalization():
+    """One shape per batch; the flip is ONE coin for the whole batch; the
+    normalization is (x/255 - mean)/std on the PIL crop+bilinear-resize."""
+    images = make_images(4, [(64, 48), (80, 80), (48, 64), (100, 40)])
+    mc = MultiResCollate()
+
+    batch = mc(images, random.Random(0))
+    assert batch.dtype == np.float32
+    b, c, h, w = batch.shape
+    assert (b, c) == (4, 3) and h % 14 == 0 and w % 14 == 0
+
+    # find one seed that flips and one that doesn't, same (ratio, short)
+    def raw(seed, flip_p):
+        m = MultiResCollate(flip_p=flip_p)
+        return m(images, random.Random(seed))
+
+    no_flip = raw(0, 0.0)
+    flipped = MultiResCollate(flip_p=1.0)(images, random.Random(0))
+    np.testing.assert_array_equal(flipped, no_flip[..., ::-1])
+
+    # normalization: undo it and compare to the raw crop+resize
+    mean = np.asarray(CLIP_MEAN, np.float32).reshape(3, 1, 1)
+    std = np.asarray(CLIP_STD, np.float32).reshape(3, 1, 1)
+    ratio, hh, ww = mc.draw_shape(random.Random(0))
+    manual = mc._crop_resize(images[0], ratio, hh, ww)
+    np.testing.assert_allclose(
+        no_flip[0] * std + mean, manual, atol=1e-6
+    )
+
+
+def test_crop_matches_reference_center_crop_semantics():
+    """Wide image + ratio 1: the crop takes the center square of height
+    `oh` (reference: target_width=int(oh*ratio) when ow/oh > ratio)."""
+    arr = np.zeros((28, 84, 3), np.uint8)
+    arr[:, 28:56] = 255  # center band
+    img = Image.fromarray(arr)
+    mc = MultiResCollate()
+    out = mc._crop_resize(img, 1.0, 28, 28)
+    assert out.shape == (3, 28, 28)
+    np.testing.assert_allclose(out, 1.0, atol=1e-6)  # pure center band
+
+
+def test_determinism_and_seed_sensitivity():
+    images = make_images(3, [(64, 48), (80, 80), (48, 64)])
+    mc = MultiResCollate()
+    a = mc(images, random.Random(7))
+    b = mc(images, random.Random(7))
+    np.testing.assert_array_equal(a, b)
+    c = mc(images, random.Random(8))
+    assert a.shape != c.shape or not np.array_equal(a, c)
+
+
+def test_loader_surface_and_incompatibilities(tmp_path):
+    """DATALOADER.MULTI_RES_COLLATE True drives the real DataManager train
+    loader: raw decode + one per-batch shape; combining with K_TRANSFORMS
+    raises."""
+    from ovmr_tpu.data.manager import DataManager
+    from ovmr_tpu.utils.defaults import get_cfg_default
+
+    os.environ["OVMR_SYNTHETIC"] = "4,6,48"
+    try:
+        cfg = get_cfg_default()
+        cfg.DATASET.NAME = "Synthetic"
+        cfg.DATASET.ROOT = str(tmp_path / "data")
+        cfg.DATASET.NUM_SHOTS = 4
+        cfg.SEED = 1
+        cfg.INPUT.SIZE = (32, 32)
+        cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+        cfg.DATALOADER.NUM_WORKERS = 2
+        cfg.DATALOADER.MULTI_RES_COLLATE = True
+        cfg.freeze()
+        dm = DataManager(cfg)
+        batch = next(iter(dm.train_loader_x))
+        b, c, h, w = batch["img"].shape
+        assert b == 8 and c == 3
+        assert h % 14 == 0 and w % 14 == 0
+        # multi-res ignores INPUT.SIZE — the shape comes from the grid
+        assert (h, w) != (32, 32)
+        assert batch["label"].shape == (8,)
+        # same epoch stream -> same per-batch shape draw across loaders
+        dm2 = DataManager(cfg)
+        batch2 = next(iter(dm2.train_loader_x))
+        np.testing.assert_array_equal(batch["img"], batch2["img"])
+
+        cfg2 = cfg.clone()
+        cfg2.defrost()
+        cfg2.DATALOADER.K_TRANSFORMS = 2
+        cfg2.freeze()
+        with pytest.raises(ValueError, match="MULTI_RES_COLLATE"):
+            DataManager(cfg2)
+    finally:
+        os.environ.pop("OVMR_SYNTHETIC", None)
