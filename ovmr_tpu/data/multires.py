@@ -28,6 +28,15 @@ compilation, so the continuous draw creates an unbounded shape set; here
 the ratio comes from a log-uniform GRID (default 9 bins over [1/2, 2]),
 bounding the shape set to ``len(grid) * len(short_sizes)`` programs while
 covering the same range. ``ratio_bins=0`` restores the continuous draw.
+
+Consumption: the ViT towers accept these off-native batches — the
+positional-embedding table bilinear-resizes to the batch's patch grid
+(``models/clip.py::resize_pos_embed``, identity at the native size), so
+`DATALOADER.MULTI_RES_COLLATE True` trains end-to-end through the real
+step (`tests/test_multires.py` pins an MM_CLS_OP forward_backward).
+The reference could not do this (its collate was never wired, and its
+tower has no resolution adaptation). Fixed-FC convnet backbones (the
+Dassl digit CNNs) cannot consume variable sizes — same as upstream torch.
 """
 
 from __future__ import annotations

@@ -234,9 +234,7 @@ class CoOp(TrainerBase):
         # (no SPMD rule); the differentiated text tower keeps per-layer
         # remat on the XLA path (_text_tower_block_fn), so memory stays
         # feasible
-        from ovmr_tpu.engine.trainer import setup_trainer_mesh
-
-        from ovmr_tpu.engine.trainer import tp_seam_tools
+        from ovmr_tpu.engine.trainer import setup_trainer_mesh, tp_seam_tools
 
         (self.mesh, self._tp, self.clip_params, self.block_fn,
          self.attn_fn) = setup_trainer_mesh(

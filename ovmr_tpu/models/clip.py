@@ -314,6 +314,15 @@ def patch_embed(
     reshape/transpose im2col measured 24x slower and pathologically slow to
     compile). `w` stays in the importer's [3*p*p, width] layout. NHWC input
     skips a relayout when paired with the NHWC augmentation output."""
+    out = patch_embed_grid(images, w, patch, layout)
+    b, gh, gw, width = out.shape
+    return out.reshape(b, gh * gw, width)
+
+
+def patch_embed_grid(
+    images: jax.Array, w: jax.Array, patch: int, layout: str = "NCHW"
+) -> jax.Array:
+    """:func:`patch_embed` keeping the spatial grid: [B, gh, gw, width]."""
     width = w.shape[1]
     kernel = w.T.reshape(width, 3, patch, patch).astype(images.dtype)
     out = jax.lax.conv_general_dilated(
@@ -324,8 +333,25 @@ def patch_embed(
         dimension_numbers=(layout, "OIHW", "NHWC"),
         preferred_element_type=jnp.float32,
     )  # [B, gh, gw, width]
-    b, gh, gw, _ = out.shape
-    return out.reshape(b, gh * gw, width).astype(images.dtype)
+    return out.astype(images.dtype)
+
+
+def resize_pos_embed(pe: jax.Array, grid: int, gh: int, gw: int) -> jax.Array:
+    """Bilinear-resize a [1+grid^2, D] ViT positional-embedding table to a
+    [1+gh*gw, D] table for a gh x gw patch grid (CLS row untouched) — the
+    standard ViT trick for feeding resolutions the tower was not built
+    for, e.g. `DATALOADER.MULTI_RES_COLLATE` batches. fp32 interpolation;
+    identity when (gh, gw) == (grid, grid)."""
+    if (gh, gw) == (grid, grid):
+        return pe
+    cls_row, spatial = pe[:1], pe[1:]
+    spatial = spatial.reshape(grid, grid, -1).astype(jnp.float32)
+    resized = jax.image.resize(
+        spatial, (gh, gw, spatial.shape[-1]), method="bilinear"
+    )
+    return jnp.concatenate(
+        [cls_row, resized.reshape(gh * gw, -1).astype(pe.dtype)], axis=0
+    )
 
 
 def encode_image(
@@ -350,14 +376,20 @@ def encode_image(
 
     v = params["visual"]
     dtype = v["patch_embed_w"].dtype
-    x = patch_embed(
+    xg = patch_embed_grid(
         images.astype(dtype), v["patch_embed_w"], cfg.vision_patch_size, layout
     )
+    b, gh, gw, width = xg.shape
+    x = xg.reshape(b, gh * gw, width)
     cls = jnp.broadcast_to(
-        v["class_embedding"].astype(dtype), (x.shape[0], 1, x.shape[-1])
+        v["class_embedding"].astype(dtype), (b, 1, width)
     )
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + v["positional_embedding"].astype(dtype)
+    # off-native resolutions (MULTI_RES_COLLATE batches) get a bilinear-
+    # resized positional table; native is the untouched identity path
+    x = x + resize_pos_embed(
+        v["positional_embedding"], cfg.grid_size, gh, gw
+    ).astype(dtype)
     x = layer_norm(x, v["ln_pre_scale"], v["ln_pre_bias"])
 
     real = x.shape[1]

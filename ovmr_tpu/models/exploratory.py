@@ -468,9 +468,13 @@ def residual_block_with_qk(x: jax.Array, p: dict, n_head: int,
 def init_feat_map_adapter(key: jax.Array, width: int,
                           dtype=jnp.float32) -> dict:
     """Params for :func:`block_with_image_feat_map`'s cross-attention
-    adapter (reference ``ResidualAttentionBlockWithDropoutATTN.__init__``
-    ln_q/img_proj/ln_k/ln_v/cross_layer/ln_out)."""
-    ks = jax.random.split(key, 3)
+    adapter, matching the reference surface structurally
+    (``ResidualAttentionBlockWithDropoutATTN.__init__`` model.py:289-300):
+    ``img_proj`` is a width -> 2*width -> width MLP with QuickGELU,
+    ``ln_q``/``ln_k``/``ln_v``/``ln_out`` are four separate LayerNorms,
+    and ``cross_layer`` is a standard MHA (packed qkv + out proj) — so
+    reference-trained adapter state maps leaf-for-leaf."""
+    ks = jax.random.split(key, 4)
     std = width ** -0.5
     normal = jax.random.normal
     return {
@@ -478,13 +482,22 @@ def init_feat_map_adapter(key: jax.Array, width: int,
         "ln_q_bias": jnp.zeros((width,), dtype),
         "ln_k_scale": jnp.ones((width,), dtype),
         "ln_k_bias": jnp.zeros((width,), dtype),
+        "ln_v_scale": jnp.ones((width,), dtype),
+        "ln_v_bias": jnp.zeros((width,), dtype),
         "ln_out_scale": jnp.ones((width,), dtype),
         "ln_out_bias": jnp.zeros((width,), dtype),
-        "img_proj_w": (normal(ks[0], (width, width)) * std).astype(dtype),
-        "img_proj_b": jnp.zeros((width,), dtype),
-        "w_qkv": (normal(ks[1], (width, 3 * width)) * std).astype(dtype),
+        # img_proj: c_fc (w -> 2w) + QuickGELU + c_proj (2w -> w)
+        "img_proj_fc_w": (
+            normal(ks[0], (width, 2 * width)) * (2 * width) ** -0.5
+        ).astype(dtype),
+        "img_proj_fc_b": jnp.zeros((2 * width,), dtype),
+        "img_proj_out_w": (
+            normal(ks[1], (2 * width, width)) * std
+        ).astype(dtype),
+        "img_proj_out_b": jnp.zeros((width,), dtype),
+        "w_qkv": (normal(ks[2], (width, 3 * width)) * std).astype(dtype),
         "b_qkv": jnp.zeros((3 * width,), dtype),
-        "w_out": (normal(ks[2], (width, width)) * std).astype(dtype),
+        "w_out": (normal(ks[3], (width, width)) * std).astype(dtype),
         "b_out": jnp.zeros((width,), dtype),
     }
 
@@ -504,14 +517,18 @@ def block_with_image_feat_map(x: jax.Array, p: dict, adapter: dict,
 
     ``x`` is [B, L, D] (batch-major; the reference is seq-major),
     ``image_feats`` is [B, N_img, D]."""
+    from ovmr_tpu.ops.layers import quick_gelu
+
     x = residual_attention_block(x, p, n_head, mask, attn_fn)
     q = layer_norm(
         x[:, :n_ctx, :], adapter["ln_q_scale"], adapter["ln_q_bias"]
     )
-    img = dense(image_feats.astype(x.dtype), adapter["img_proj_w"],
-                adapter["img_proj_b"])
+    img = dense(image_feats.astype(x.dtype), adapter["img_proj_fc_w"],
+                adapter["img_proj_fc_b"])
+    img = dense(quick_gelu(img), adapter["img_proj_out_w"],
+                adapter["img_proj_out_b"])
     k = layer_norm(img, adapter["ln_k_scale"], adapter["ln_k_bias"])
-    v = layer_norm(img, adapter["ln_k_scale"], adapter["ln_k_bias"])
+    v = layer_norm(img, adapter["ln_v_scale"], adapter["ln_v_bias"])
     out = _cross_attention(q, k, v, adapter, n_head)
     pooled = layer_norm(
         jnp.mean(out, axis=1, keepdims=True),

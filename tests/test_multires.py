@@ -142,3 +142,77 @@ def test_loader_surface_and_incompatibilities(tmp_path):
             DataManager(cfg2)
     finally:
         os.environ.pop("OVMR_SYNTHETIC", None)
+
+
+def test_resize_pos_embed_identity_and_offnative():
+    import jax
+    import jax.numpy as jnp
+
+    from ovmr_tpu.models.clip import resize_pos_embed
+
+    pe = jax.random.normal(jax.random.PRNGKey(0), (1 + 4, 16))  # grid 2
+    # native: the SAME array object (identity path, bit-exact by construction)
+    assert resize_pos_embed(pe, 2, 2, 2) is pe
+    out = resize_pos_embed(pe, 2, 3, 5)
+    assert out.shape == (1 + 15, 16)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(pe[0]))
+    assert np.isfinite(np.asarray(out)).all()
+    # constant table stays constant under bilinear resize
+    const = jnp.ones((1 + 4, 8))
+    np.testing.assert_allclose(
+        np.asarray(resize_pos_embed(const, 2, 4, 6)), 1.0, atol=1e-6
+    )
+
+
+def test_encode_image_consumes_offnative_sizes():
+    """The ViT tower accepts a non-native (even non-square) input: the
+    pos table bilinear-resizes to the batch's patch grid."""
+    import jax
+
+    from ovmr_tpu.models import clip as jclip
+
+    params = jclip.init_params(jax.random.PRNGKey(0), jclip.TINY)
+    imgs = np.random.RandomState(0).randn(2, 3, 32, 64).astype(np.float32)
+    feats = jclip.encode_image(params, jclip.TINY, imgs)  # grid 2x4
+    assert feats.shape == (2, jclip.TINY.embed_dim)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_multires_trains_through_the_real_step(tmp_path):
+    """DATALOADER.MULTI_RES_COLLATE feeds the REAL MM_CLS_OP train step:
+    a variable-resolution batch (per-batch shape from the grid, patch
+    size derived from the backbone) produces a finite loss through
+    forward_backward — the end-to-end consumption the reference's
+    never-wired collate could not offer."""
+    from ovmr_tpu.engine.trainer import build_trainer
+    from ovmr_tpu.utils.defaults import get_cfg_default
+
+    os.environ["OVMR_SYNTHETIC"] = "4,8,48"
+    try:
+        c = get_cfg_default()
+        c.TRAINER.NAME = "MM_CLS_OP"
+        c.DATASET.NAME = "Synthetic"
+        c.DATASET.NUM_SHOTS = 4
+        c.DATASET.ROOT = str(tmp_path / "data")
+        c.OUTPUT_DIR = str(tmp_path / "out")
+        c.SEED = 1
+        c.INPUT.SIZE = (32, 32)
+        c.DATALOADER.TRAIN_X.SAMPLER = "RandomClassSampler"
+        c.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+        c.DATALOADER.TRAIN_X.N_INS = 4
+        c.DATALOADER.TEST.BATCH_SIZE = 8
+        c.DATALOADER.NUM_WORKERS = 2
+        c.DATALOADER.MULTI_RES_COLLATE = True
+        c.MODEL.BACKBONE.NAME = "TINY"
+        c.OPTIM.MAX_EPOCH = 1
+        c.TRAINER.COCOOP.N_CTX = 2
+        c.TPU.DTYPE = "float32"
+        c.freeze()
+        t = build_trainer(c)
+        batch = next(iter(t.train_loader))
+        b, ch, h, w = batch["img"].shape
+        assert (h, w) != (32, 32) and h % 16 == 0 and w % 16 == 0
+        metrics = t.forward_backward(batch)
+        assert np.isfinite(metrics["loss"])
+    finally:
+        os.environ.pop("OVMR_SYNTHETIC", None)
