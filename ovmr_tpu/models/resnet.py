@@ -70,13 +70,24 @@ def bottleneck(x, p, stride: int):
 
 
 def attention_pool(x, p, n_head: int):
-    """[B, C, H, W] -> [B, output_dim] (reference ``AttentionPool2d``)."""
+    """[B, C, H, W] -> [B, output_dim] (reference ``AttentionPool2d``).
+
+    Off-native resolutions (a feature map whose H*W differs from the
+    trained ``spacial_dim``^2) bilinear-resize the positional table to
+    the map's grid — same adaptation as the ViT towers' resize_pos_embed;
+    identity at the native size."""
     b, c, h, w = x.shape
     tokens = x.reshape(b, c, h * w).transpose(0, 2, 1)  # [B, HW, C]
     tokens = jnp.concatenate(
         [tokens.mean(axis=1, keepdims=True), tokens], axis=1
     )  # [B, HW+1, C]
-    tokens = tokens + p["positional_embedding"].astype(tokens.dtype)[None]
+    pe = p["positional_embedding"]
+    if pe.shape[0] != h * w + 1:
+        from ovmr_tpu.models.clip import resize_pos_embed
+
+        grid = round((pe.shape[0] - 1) ** 0.5)
+        pe = resize_pos_embed(pe, grid, h, w)
+    tokens = tokens + pe.astype(tokens.dtype)[None]
 
     def proj(t, name):
         return (

@@ -216,3 +216,19 @@ def test_multires_trains_through_the_real_step(tmp_path):
         assert np.isfinite(metrics["loss"])
     finally:
         os.environ.pop("OVMR_SYNTHETIC", None)
+
+
+def test_resnet_attention_pool_offnative():
+    """The ModifiedResNet AttentionPool2d also adapts off-native feature
+    grids (bilinear-resized positional table; identity at native size —
+    native parity is pinned by test_resnet_parity.py goldens)."""
+    import jax
+
+    from ovmr_tpu.models import clip as jclip
+    from ovmr_tpu.models.resnet import encode_image_resnet
+
+    params = jclip.init_params(jax.random.PRNGKey(0), jclip.TINY_RN)
+    imgs = np.random.RandomState(0).randn(2, 3, 96, 64).astype(np.float32)
+    feats = encode_image_resnet(params, imgs, jclip.TINY_RN.vision_heads)
+    assert feats.shape == (2, jclip.TINY_RN.embed_dim)
+    assert np.isfinite(np.asarray(feats)).all()
