@@ -82,10 +82,12 @@ def attention_pool(x, p, n_head: int):
         [tokens.mean(axis=1, keepdims=True), tokens], axis=1
     )  # [B, HW+1, C]
     pe = p["positional_embedding"]
-    if pe.shape[0] != h * w + 1:
+    grid = round((pe.shape[0] - 1) ** 0.5)
+    # guard on the GRID SHAPE, not the token count: an equal-area
+    # non-square map (e.g. 4x1 vs the trained 2x2) must resize too
+    if (h, w) != (grid, grid):
         from ovmr_tpu.models.clip import resize_pos_embed
 
-        grid = round((pe.shape[0] - 1) ** 0.5)
         pe = resize_pos_embed(pe, grid, h, w)
     tokens = tokens + pe.astype(tokens.dtype)[None]
 

@@ -232,3 +232,11 @@ def test_resnet_attention_pool_offnative():
     feats = encode_image_resnet(params, imgs, jclip.TINY_RN.vision_heads)
     assert feats.shape == (2, jclip.TINY_RN.embed_dim)
     assert np.isfinite(np.asarray(feats)).all()
+
+    # equal-area NON-square (4x1 map vs the trained 2x2): the guard keys
+    # on grid shape, so the table resizes instead of being silently
+    # reused row-major
+    tall = np.random.RandomState(1).randn(2, 3, 128, 32).astype(np.float32)
+    feats2 = encode_image_resnet(params, tall, jclip.TINY_RN.vision_heads)
+    assert feats2.shape == (2, jclip.TINY_RN.embed_dim)
+    assert np.isfinite(np.asarray(feats2)).all()
