@@ -340,15 +340,12 @@ class DataManager:
             # dims floor to the BACKBONE's patch size when it's a known
             # ViT (so no pixel column is silently cropped by the stride-p
             # patchify); the reference hardcodes 14
-            patch = 14
-            try:
-                from ovmr_tpu.models.clip import CONFIGS
+            from ovmr_tpu.models.clip import CONFIGS
 
-                bb = CONFIGS.get(cfg.MODEL.BACKBONE.NAME)
-                if bb is not None and not bb.is_resnet:
-                    patch = bb.vision_patch_size
-            except Exception:
-                pass
+            patch = 14
+            bb = CONFIGS.get(cfg.MODEL.BACKBONE.NAME)
+            if bb is not None and not bb.is_resnet:
+                patch = bb.vision_patch_size
             multi_res = MultiResCollate(patch_size=patch)
 
         tfm_train = build_transform(cfg, is_train=True)

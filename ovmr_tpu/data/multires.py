@@ -9,7 +9,10 @@ size, center-crops every image to that ratio, bilinear-resizes to the
 patch-multiple target, applies one batch-level horizontal-flip coin, and
 normalizes. The reference's dim math is kept exactly:
 
-- ``short_size`` from {112, 224, 336, 448, 560, 672};
+- ``short_size`` from {112, 224, 336, 448, 560, 672}, floored to the
+  patch multiple (identity for p in {14, 16}, where the reference grid
+  already divides; p=32 floors 112/336/560 so BOTH axes stay exact
+  patch multiples — no pixel band is dropped by the stride-p patchify);
 - ratio > 1: height = short_size, width = int((height*ratio // p) * p);
   ratio <= 1: width = short_size, height = int((width/ratio // p) * p)
   with patch size p = 14;
@@ -70,12 +73,23 @@ class MultiResCollate:
         flip_p: float = 0.5,
     ):
         self.patch_size = patch_size
-        self.short_sizes = tuple(short_sizes)
+        # the SHORT side also feeds the stride-p patchify, so it must be a
+        # patch multiple too (the reference 112-grid divides p in {14,16}
+        # and passes through unchanged there; p=32 floors 112->96 etc. so
+        # no pixel band is silently dropped by the patch embed)
+        self.short_sizes = tuple(
+            sorted({max(patch_size, (s // patch_size) * patch_size) for s in short_sizes})
+        )
         self.ratio_range = ratio_range
         # log-uniform grid so 1/r appears whenever r does (2:1 and 1:2
         # crops are equally likely, like the continuous draw)
-        self.ratio_grid = (
-            tuple(
+        if not ratio_bins:
+            self.ratio_grid = None
+        elif ratio_bins == 1:
+            # single bin: the geometric mid of the range (1.0 for [1/2, 2])
+            self.ratio_grid = (math.sqrt(ratio_range[0] * ratio_range[1]),)
+        else:
+            self.ratio_grid = tuple(
                 math.exp(
                     math.log(ratio_range[0])
                     + (math.log(ratio_range[1]) - math.log(ratio_range[0]))
@@ -84,9 +98,6 @@ class MultiResCollate:
                 )
                 for i in range(ratio_bins)
             )
-            if ratio_bins
-            else None
-        )
         self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
         self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
         self.flip_p = flip_p

@@ -50,6 +50,23 @@ def test_ratio_grid_is_log_symmetric_and_optional():
     assert len(draws) == 50  # continuous
 
 
+def test_single_ratio_bin_and_patch32_short_floor():
+    """ratio_bins=1 is the geometric mid of the range (1.0 for [1/2,2]),
+    and the SHORT side floors to the backbone patch multiple too (p=32:
+    112->96, 336->320, 560->544) so the stride-p patchify never drops a
+    pixel band on either axis."""
+    mc1 = MultiResCollate(ratio_bins=1)
+    assert mc1.ratio_grid == (pytest.approx(1.0),)
+    ratio, h, w = mc1.draw_shape(random.Random(0))
+    assert ratio == pytest.approx(1.0)
+
+    mc32 = MultiResCollate(patch_size=32)
+    assert mc32.short_sizes == (96, 224, 320, 448, 544, 672)
+    for seed in range(100):
+        _, h, w = mc32.draw_shape(random.Random(seed))
+        assert h % 32 == 0 and w % 32 == 0
+
+
 def test_collate_batch_shape_flip_and_normalization():
     """One shape per batch; the flip is ONE coin for the whole batch; the
     normalization is (x/255 - mean)/std on the PIL crop+bilinear-resize."""
