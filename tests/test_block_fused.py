@@ -20,6 +20,8 @@ from ovmr_tpu.ops.layers import (
     residual_attention_block,
 )
 
+pytestmark = pytest.mark.quick
+
 
 def _layer(key, d, n_layers=1):
     params = jclip.init_params(key, jclip.TINY)

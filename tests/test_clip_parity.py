@@ -12,6 +12,8 @@ import jax.numpy as jnp
 from ovmr_tpu.models import clip as jclip
 from ovmr_tpu.models.import_torch import clip_params_from_state_dict
 
+pytestmark = pytest.mark.quick
+
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "clip_tiny_golden.npz")
 
 

@@ -5,6 +5,9 @@ unusable because "(224, 224)" stayed a raw string)."""
 import numpy as np
 
 from ovmr_tpu.utils.defaults import get_cfg_default
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_shipped_trainer_config_parses():

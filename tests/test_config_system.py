@@ -5,6 +5,8 @@ import pytest
 from ovmr_tpu.utils.config import CfgNode
 from ovmr_tpu.utils.defaults import get_cfg_default
 
+pytestmark = pytest.mark.quick
+
 
 def test_merge_from_list_types():
     cfg = get_cfg_default()

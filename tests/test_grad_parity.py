@@ -19,6 +19,8 @@ from ovmr_tpu.models.import_torch import (
 )
 from tests.helpers import npz_state_dict
 
+pytestmark = pytest.mark.quick
+
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "ovmr_grad_golden.npz")
 
 

@@ -28,6 +28,8 @@ from torch.optim.lr_scheduler import (  # noqa: E402
 
 from ovmr_tpu.engine.schedule import lr_for_epoch  # noqa: E402
 
+pytestmark = pytest.mark.quick
+
 
 class _BaseWarmupScheduler(_LRScheduler):
     # mirrors dassl/optim/lr_scheduler.py:11-34

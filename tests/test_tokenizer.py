@@ -9,6 +9,8 @@ import pytest
 
 from ovmr_tpu.text import get_tokenizer, tokenize, eot_indices
 
+pytestmark = pytest.mark.quick
+
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "tokenizer_golden.json")
 
 
