@@ -262,3 +262,140 @@ def test_coop_stage2_trajectory_matches_reference_trainer(
     assert float(np.median(diff)) < 3e-6
     assert float(diff.max()) < 12 * float(data["optim_scalars"][0])
     assert np.abs(ref_ctx - data["ctx_init"]).max() > 1e-5  # it really moved
+
+
+# ---------------------------------------------------------------------------
+# Dassl FixMatch (tools/gen_trajectory_golden_fixmatch.py): pseudo-label
+# masking + 3 train-mode forwards per step (BN stat ordering) + SGD(momentum)
+# + linear-warmup->cosine (dassl/engine/ssl/fixmatch.py:52-95)
+# ---------------------------------------------------------------------------
+
+FM_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_fixmatch_golden.npz"
+)
+FM_EPOCHS, FM_BATCHES = 3, 2
+
+
+def _transplant(tree, data, prefix):
+    """Replace leaves of `tree` in place from npz keys `{prefix}/{path}`."""
+    n = 0
+    for k in data.files:
+        if not k.startswith(prefix + "/"):
+            continue
+        node = tree
+        parts = k[len(prefix) + 1:].split("/")
+        for p in parts[:-1]:
+            node = node[p]
+        assert parts[-1] in node, k
+        assert tuple(node[parts[-1]].shape) == tuple(data[k].shape), k
+        node[parts[-1]] = jnp.asarray(data[k])
+        n += 1
+    return n
+
+
+def _nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def test_fixmatch_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.optimizers import set_lr as _set_lr
+    from ovmr_tpu.engine.ssl import FixMatch
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(FM_FIXTURE)
+    base_lr, min_lr, wd, momentum, weight_u, conf_thre = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.FIXMATCH.WEIGHT_U = float(weight_u)
+    cfg.TRAINER.FIXMATCH.CONF_THRE = float(conf_thre)
+    cfg.TRAINER.FIXMATCH.STRONG_TRANSFORMS = ["random_flip"]
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.SGD_NESTEROV = False
+    cfg.OPTIM.MAX_EPOCH = FM_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "linear"
+    cfg.OPTIM.WARMUP_MIN_LR = float(min_lr)
+    cfg.SEED = 1
+
+    trainer = FixMatch.__new__(FixMatch)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    state = trainer.state
+    assert _transplant(state["params"], data, "init/params") == 14
+    assert _transplant(state["batch_stats"], data, "init/batch_stats") == 2
+    state["opt_state"] = trainer.tx.init(state["params"])
+
+    imgs = {k: np.asarray(data[k], np.float32)
+            for k in ("imgs_x", "imgs_x2", "imgs_u", "imgs_u2")}
+    rng = jax.random.PRNGKey(0)  # no dropout anywhere in this net
+
+    losses_x, losses_u, keeps = [], [], []
+    step = 0
+    for epoch in range(FM_EPOCHS):
+        state["opt_state"] = _set_lr(state["opt_state"], trainer.lr_table[epoch])
+        for _ in range(FM_BATCHES):
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            state, metrics = trainer.train_step(
+                state,
+                _nhwc(imgs["imgs_x"][i]),
+                _nhwc(imgs["imgs_x2"][i]),
+                jnp.asarray(data["labels_x"][i].astype(np.int32)),
+                _nhwc(imgs["imgs_u"][i]),
+                _nhwc(imgs["imgs_u2"][i]),
+                jnp.asarray(data["labels_u"][i].astype(np.int32)),
+                rng,
+            )
+            losses_x.append(float(metrics["loss_x"]))
+            losses_u.append(float(metrics["loss_u"]))
+            keeps.append(float(metrics["y_u_pred_keep"]))
+            step += 1
+
+    np.testing.assert_allclose(losses_x, data["loss_x"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(losses_u, data["loss_u"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(keeps, data["keep"], atol=1e-6)
+    assert any(0.0 < k < 1.0 for k in keeps)  # the mask path really fires
+
+    # final params + BN running stats (the 3-forward ordering inside the
+    # step is part of the pin)
+    final_p = jax.tree_util.tree_map(lambda x: np.array(x), state["params"])
+    _assert_tree_close(final_p, data, "final/params", atol=5e-5)
+    final_s = jax.tree_util.tree_map(lambda x: np.array(x), state["batch_stats"])
+    _assert_tree_close(final_s, data, "final/batch_stats", atol=5e-5)
+
+
+def _assert_tree_close(tree, data, prefix, atol):
+    n = 0
+    for k in data.files:
+        if not k.startswith(prefix + "/"):
+            continue
+        node = tree
+        for p in k[len(prefix) + 1:].split("/"):
+            node = node[p]
+        np.testing.assert_allclose(node, data[k], atol=atol, rtol=1e-3, err_msg=k)
+        n += 1
+    assert n > 0

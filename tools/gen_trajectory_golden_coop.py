@@ -51,7 +51,9 @@ data = {}
 
 
 def t2np(t):
-    return t.detach().cpu().float().numpy()
+    # copy: .numpy() on an fp32 CPU tensor SHARES storage with the live
+    # params, so pre-training dumps would mutate as training proceeds
+    return t.detach().cpu().float().numpy().copy()
 
 
 def make_cfg(vt_path):
