@@ -24,6 +24,7 @@ steps and fetch one scalar at the end.
 
 import gc
 import json
+import os
 import sys
 import time
 
@@ -139,8 +140,48 @@ def main():
 
     t_train = sustained_ms(train_step_once, iters=4, rounds=3)
     train_img_s = train_batch / (t_train / 1e3)
+
+    # ---- sustained soak: 60 consecutive full-scale steps ------------------
+    # the flat-band/no-HBM-growth guard behind DESIGN.md's pretrain
+    # extrapolation (tools/soak.py is the long-form 200-step harness)
+    def hbm_in_use():
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            return int(stats.get("bytes_in_use", -1))
+        except Exception:
+            return -1
+
+    hbm_pre = hbm_in_use()
+    soak_ms = []
+    for _ in range(60):
+        t0 = time.perf_counter()
+        loss = train_step_once()
+        float(loss)  # sync (block_until_ready is a no-op on the relay)
+        soak_ms.append((time.perf_counter() - t0) * 1e3)
+    soak = np.asarray(soak_ms)
+    hbm_post = hbm_in_use()
+    sustained_p50 = float(np.percentile(soak, 50))
+    sustained_p95 = float(np.percentile(soak, 95))
+    sustained_drift = float(soak[-15:].mean() / soak[:15].mean() - 1.0)
+    hbm_growth = hbm_post - hbm_pre if hbm_pre >= 0 else None
+    # steady-state must stay flat and HBM must not creep step-over-step
+    assert sustained_drift < 0.25, (
+        f"sustained step time drifted {sustained_drift:+.1%} over 60 steps"
+    )
+    if hbm_growth is not None:
+        assert hbm_growth < 256 * 2**20, (
+            f"HBM in_use grew {hbm_growth / 2**20:.0f} MiB over 60 steps"
+        )
     del train_images
     gc.collect()
+
+    # ---- peak-HBM regression guards (tools/mem_guard.py) ------------------
+    # asserts the remat/fused-VJP stage-2 and row-streaming fusion memory
+    # wins every round (budgets with headroom; fails loudly on regression)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.mem_guard import run_guards
+
+    mem_peaks = run_guards(verbose=False)
 
     # ---- classifier generation: 1024 classes x 16 shots ------------------
     gen_cls, shots = 1024, 16
@@ -286,6 +327,20 @@ def main():
             "vitl14_eval_ms_batch128": round(t_vitl, 1),
             "vitb32_eval_ms_batch256": round(t_b32, 1),
             "rn50_eval_ms_batch256": round(t_rn50, 1),
+            "sustained60_p50_ms": round(sustained_p50, 1),
+            "sustained60_p95_ms": round(sustained_p95, 1),
+            "sustained60_drift_pct": round(sustained_drift * 100, 1),
+            "sustained60_hbm_growth_mib": (
+                round(hbm_growth / 2**20, 1) if hbm_growth is not None else None
+            ),
+            "peak_hbm_stage2_3000prompt_gib": (
+                round(mem_peaks["peak_s2_bytes"] / 2**30, 2)
+                if mem_peaks["peak_s2_bytes"] >= 0 else None
+            ),
+            "peak_hbm_fusion21k_gib": (
+                round(mem_peaks["peak_fusion_bytes"] / 2**30, 2)
+                if mem_peaks["peak_fusion_bytes"] >= 0 else None
+            ),
         },
     }
     print(json.dumps(result))

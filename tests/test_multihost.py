@@ -1,6 +1,6 @@
-"""Multi-host (multi-process) SPMD: two coordinated processes, 4 virtual
-CPU devices each, ONE global 8-device mesh — the pod-scale execution
-model (one process per host) the reference's single-process
+"""Multi-host (multi-process) SPMD: N coordinated processes, 8 // N
+virtual CPU devices each, ONE global 8-device mesh — the pod-scale
+execution model (one process per host) the reference's single-process
 ``nn.DataParallel`` cannot express.
 
 The worker (tests/multihost_worker.py) runs the real code paths: the
@@ -8,19 +8,26 @@ OVMR shard_map train step with cross-process batch assembly, the
 Dassl Vanilla trainer + `to_host` inference gather, sliced-vs-full
 decode equality for the structure-sensitive trainers, and MM_CLS_OP on
 a data=4 x model=2 TP-pallas mesh (tensor parallelism inside each host,
-data parallelism across hosts — the pod layout). Both processes must
+data parallelism across hosts — the pod layout). All processes must
 agree bit-for-bit on the printed losses (the program is global; only
-the feeding is per-process)."""
+the feeding is per-process).
+
+The 4-process variant (2 devices per process) exists to catch pairwise
+assumptions in the rendezvous/slicing arithmetic — process-0 gating,
+per-host block arithmetic at world_size > 2 (VERDICT r4 item 7).
+"""
 
 import os
 import os.path as osp
 import subprocess
 import sys
 
+import pytest
+
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
-def test_two_process_mesh_agrees(tmp_path):
+def _launch(tmp_path, n_proc):
     import socket
 
     # bind an ephemeral port so a stale/concurrent listener can't turn a
@@ -29,12 +36,12 @@ def test_two_process_mesh_agrees(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     procs = []
-    for pid in range(2):
+    for pid in range(n_proc):
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)  # worker sets its own device count
         env.update(
             OVMR_COORDINATOR=f"localhost:{port}",
-            OVMR_NUM_PROCESSES="2",
+            OVMR_NUM_PROCESSES=str(n_proc),
             OVMR_PROCESS_ID=str(pid),
             OVMR_SYNTHETIC="4,8,32",
             OVMR_MH_DATA=str(tmp_path / "data"),
@@ -54,6 +61,12 @@ def test_two_process_mesh_agrees(tmp_path):
     for p in procs:
         out, _ = p.communicate(timeout=900)
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.parametrize("n_proc", [2, 4])
+def test_multi_process_mesh_agrees(tmp_path, n_proc):
+    procs, outs = _launch(tmp_path, n_proc)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
     lines = [
@@ -61,4 +74,5 @@ def test_two_process_mesh_agrees(tmp_path):
         for out in outs
     ]
     # the global program computes identical values on every process
-    assert lines[0] == lines[1], f"{lines[0]!r} != {lines[1]!r}"
+    for pid in range(1, n_proc):
+        assert lines[0] == lines[pid], f"{lines[0]!r} != {lines[pid]!r}"

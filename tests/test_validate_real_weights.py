@@ -128,3 +128,59 @@ def test_eval_matrix_and_aggregation(work):
     assert proc2.returncode == 0
     assert calls.read_text().strip() == ""
     assert proc2.stdout.count("skip ") == len(DATASETS) * 3
+
+
+# dataset key in the script <-> BASELINE.md OVMR row label
+_BASELINE_LABELS = {
+    "imagenet": "ImageNet",
+    "caltech101": "Caltech101",
+    "oxford_pets": "OxfordPets",
+    "stanford_cars": "StanfordCars",
+    "oxford_flowers": "Flowers102",
+    "food101": "Food101",
+    "fgvc_aircraft": "FGVCAircraft",
+    "sun397": "SUN397",
+    "dtd": "DTD",
+    "eurosat": "EuroSAT",
+    "ucf101": "UCF101",
+}
+
+
+def test_inlined_expected_numbers_match_baseline_md():
+    """The script's inlined paper numbers cross-check against BASELINE.md
+    (VERDICT r4 item 9: the one command that matters on asset arrival must
+    not rot against the source of truth)."""
+    import re
+
+    script = open(os.path.join(REPO, "scripts", "validate_real_weights.sh")).read()
+    baseline = open(os.path.join(REPO, "BASELINE.md")).read()
+
+    expected = {}
+    for label in _BASELINE_LABELS.values():
+        m = re.search(
+            rf"\| OVMR — {re.escape(label)} \| ([0-9.]+) \|", baseline
+        )
+        assert m, f"BASELINE.md lost the OVMR {label} row"
+        expected[label] = m.group(1)
+    m = re.search(
+        r"\| OVMR — \*\*11-dataset average\*\* \| \*\*([0-9.]+)\*\*", baseline
+    )
+    assert m, "BASELINE.md lost the OVMR average row"
+    avg = m.group(1)
+
+    # every per-dataset number appears next to its dataset key in BOTH the
+    # header comment and the final echo summary
+    for ds, label in _BASELINE_LABELS.items():
+        val = expected[label]
+        short = {
+            "stanford_cars": "cars",
+            "oxford_flowers": "flowers",
+            "fgvc_aircraft": "aircraft",
+        }.get(ds, ds)
+        pat = rf"({re.escape(ds)}|{re.escape(short)}) {re.escape(val)}\b"
+        hits = re.findall(pat, script)
+        assert len(hits) >= 2, (
+            f"{ds}: expected '{val}' beside the dataset name in both the "
+            f"comment block and the echo summary of validate_real_weights.sh"
+        )
+    assert script.count(avg) >= 2, f"average {avg} missing from the script"
