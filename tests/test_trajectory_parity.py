@@ -399,3 +399,117 @@ def _assert_tree_close(tree, data, prefix, atol):
         np.testing.assert_allclose(node, data[k], atol=atol, rtol=1e-3, err_msg=k)
         n += 1
     assert n > 0
+
+
+# ---------------------------------------------------------------------------
+# Dassl DANN (tools/gen_trajectory_golden_dann.py): adversarial two-optimizer
+# scheduling — GRL lambda ramp per global step, BCE critic with BN, BOTH
+# optimizers stepped by one loss, warmup->single_step decay
+# (dassl/engine/da/dann.py:45-77)
+# ---------------------------------------------------------------------------
+
+DANN_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_dann_golden.npz"
+)
+DANN_EPOCHS, DANN_BATCHES = 4, 2
+
+
+def test_dann_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.da import DANN
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(DANN_FIXTURE)
+    base_lr, cons_lr, wd, step_size, gamma = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.OPTIM.NAME = "adam"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = DANN_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "single_step"
+    cfg.OPTIM.STEPSIZE = (int(step_size),)
+    cfg.OPTIM.GAMMA = float(gamma)
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = float(cons_lr)
+    cfg.SEED = 1
+
+    trainer = DANN.__new__(DANN)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+    trainer.max_epoch = DANN_EPOCHS
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    assert _transplant(trainer.state["params"], data, "init/m/params") == 10
+    cstate = trainer._models["critic"]
+    assert _transplant(cstate["params"], data, "init/c/params") == 10
+    assert _transplant(cstate["batch_stats"], data, "init/c/batch_stats") == 4
+    trainer.state["opt_state"] = trainer.tx.init(trainer.state["params"])
+    cstate["opt_state"] = trainer.tx_c.init(cstate["params"])
+
+    imgs_x = np.asarray(data["imgs_x"], np.float32)
+    imgs_u = np.asarray(data["imgs_u"], np.float32)
+    labels_x = data["labels_x"]
+
+    losses_x, losses_d = [], []
+    step = 0
+    trainer.num_batches = DANN_BATCHES
+    for epoch in range(DANN_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()  # set_lr on BOTH registered states
+        for b in range(DANN_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            batch_x = {
+                "img": imgs_x[i],
+                "label": labels_x[i].astype(np.int64),
+            }
+            batch_u = {
+                "img": imgs_u[i],
+                "label": np.zeros(imgs_u.shape[1], np.int64),
+            }
+            out = trainer.forward_backward_xu(batch_x, batch_u)
+            losses_x.append(out["loss_x"])
+            losses_d.append(out["loss_d"])
+            step += 1
+
+    # adam at lr 1e-3 amplifies fp32 noise (sign-sensitive moment
+    # normalization) and the adversarial coupling feeds it back through the
+    # critic: steps 1-3 agree to ~1e-6, step 8 to ~3e-4 relative. A real
+    # composition drift (wrong lr/decay/lambda/update order) moves step 2+
+    # at the percent level.
+    np.testing.assert_allclose(losses_x, data["loss_x"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(losses_d, data["loss_d"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        losses_x[:3], data["loss_x"][:3], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        losses_d[:3], data["loss_d"][:3], rtol=1e-5, atol=1e-5
+    )
+
+    final_m = jax.tree_util.tree_map(lambda x: np.array(x), trainer.state["params"])
+    _assert_tree_close(final_m, data, "final/m/params", atol=8 * float(base_lr))
+    final_c = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["critic"]["params"]
+    )
+    _assert_tree_close(final_c, data, "final/c/params", atol=8 * float(base_lr))
+    final_cs = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["critic"]["batch_stats"]
+    )
+    # critic BN inputs inherit the adam-noise drift of the fc params;
+    # stats are O(1), so an absolute band is the right instrument
+    _assert_tree_close(final_cs, data, "final/c/batch_stats", atol=5e-3)
