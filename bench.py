@@ -144,12 +144,12 @@ def main():
     # ---- sustained soak: 60 consecutive full-scale steps ------------------
     # the flat-band/no-HBM-growth guard behind DESIGN.md's pretrain
     # extrapolation (tools/soak.py is the long-form 200-step harness)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.soak import mem_snapshot
+
     def hbm_in_use():
-        try:
-            stats = jax.local_devices()[0].memory_stats() or {}
-            return int(stats.get("bytes_in_use", -1))
-        except Exception:
-            return -1
+        snap = mem_snapshot()
+        return snap.get("bytes_in_use", -1) if snap else -1
 
     hbm_pre = hbm_in_use()
     soak_ms = []
@@ -162,7 +162,12 @@ def main():
     hbm_post = hbm_in_use()
     sustained_p50 = float(np.percentile(soak, 50))
     sustained_p95 = float(np.percentile(soak, 95))
-    sustained_drift = float(soak[-15:].mean() / soak[:15].mean() - 1.0)
+    # median-based drift: robust to one-off relay contention spikes, which
+    # this shared pool produces; a real regression (allocator creep, queue
+    # back-pressure) shifts the whole tail window
+    sustained_drift = float(
+        np.median(soak[-15:]) / np.median(soak[:15]) - 1.0
+    )
     hbm_growth = hbm_post - hbm_pre if hbm_pre >= 0 else None
     # steady-state must stay flat and HBM must not creep step-over-step
     assert sustained_drift < 0.25, (
@@ -176,9 +181,9 @@ def main():
     gc.collect()
 
     # ---- peak-HBM regression guards (tools/mem_guard.py) ------------------
-    # asserts the remat/fused-VJP stage-2 and row-streaming fusion memory
-    # wins every round (budgets with headroom; fails loudly on regression)
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # asserts the remat/fused-VJP stage-2 (the REAL trainer step, both loss
+    # regimes) and row-streaming fusion memory wins every round (compile-
+    # time budgets with headroom; fails loudly on regression)
     from tools.mem_guard import run_guards
 
     mem_peaks = run_guards(verbose=False)
@@ -333,9 +338,13 @@ def main():
             "sustained60_hbm_growth_mib": (
                 round(hbm_growth / 2**20, 1) if hbm_growth is not None else None
             ),
-            "peak_hbm_stage2_3000prompt_gib": (
-                round(mem_peaks["peak_s2_bytes"] / 2**30, 2)
-                if mem_peaks["peak_s2_bytes"] >= 0 else None
+            "peak_hbm_stage2_400c3p_gib": (
+                round(mem_peaks["peak_s2_400cls_3prompt_bytes"] / 2**30, 2)
+                if mem_peaks["peak_s2_400cls_3prompt_bytes"] >= 0 else None
+            ),
+            "peak_hbm_stage2_1000c1p_gib": (
+                round(mem_peaks["peak_s2_1000cls_1prompt_bytes"] / 2**30, 2)
+                if mem_peaks["peak_s2_1000cls_1prompt_bytes"] >= 0 else None
             ),
             "peak_hbm_fusion21k_gib": (
                 round(mem_peaks["peak_fusion_bytes"] / 2**30, 2)

@@ -109,14 +109,17 @@ def main():
         assert np.isfinite(loss1)
         vals.append(loss1)
 
+    # stages 2-5 all build trainers (mm_cfg/dassl_cfg use tempfile and
+    # build_trainer), so the shared imports live OUTSIDE the stage gates
+    import tempfile
+
+    from ovmr_tpu.engine import register_all_trainers
+    from ovmr_tpu.engine.trainer import build_trainer
+
+    register_all_trainers()
+
     # ---- 2. Dassl Vanilla trainer end-to-end on the global mesh --------
     if 2 in stages:
-        import tempfile
-
-        from ovmr_tpu.engine import register_all_trainers
-        from ovmr_tpu.engine.trainer import build_trainer
-
-        register_all_trainers()
         cfg2 = get_cfg_default()
         cfg2.TRAINER.NAME = "Vanilla"
         cfg2.DATASET.NAME = "SyntheticDA"

@@ -58,9 +58,16 @@ def _launch(tmp_path, n_proc):
             )
         )
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+    try:
+        for p in procs:
+            # the 4-proc full run measures ~9.5 min uncontended; this
+            # single-core host runs >2x slower under suite contention
+            out, _ = p.communicate(timeout=2400)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     return procs, outs
 
 

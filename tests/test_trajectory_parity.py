@@ -1,4 +1,9 @@
-"""Joint N-step training-trajectory parity vs the REFERENCE MM_CLS_OP trainer.
+"""Joint N-step training-trajectory parity vs the REFERENCE trainers.
+
+Four fixtures, four trainers: MM_CLS_OP (this docstring's recipe), CoOp
+stage-2 (both loss regimes), FixMatch (SSL scheduling + BN ordering),
+DANN (adversarial two-optimizer scheduling + GRL ramp) — see the
+per-section comments below and tools/gen_trajectory_golden*.py.
 
 The fixture (tools/gen_trajectory_golden.py) ran the actual reference
 ``MM_CLS_OP.forward_backward`` (``trainers/mm_classifier_one_prompt.py:421-452``)

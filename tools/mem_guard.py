@@ -1,24 +1,30 @@
 """Peak-HBM regression guards (VERDICT r4 item 3).
 
 Asserts XLA's compile-time ``memory_analysis().peak_memory_in_bytes`` for
-the two memory wins DESIGN.md measures but nothing previously enforced:
+the memory wins DESIGN.md measures but nothing previously enforced —
+lowered from the SHIPPED programs, not replicas:
 
-A) **stage-2 3000-prompt fwd+bwd** — the 1000-class 3-prompt CoOp loss,
-   where plain-XLA saved intermediates need 86 GB (compile-time OOM on the
-   15.75 GB chip; DESIGN.md backward table). The fused-VJP/remat design
-   must keep the whole step inside ``BUDGET_S2``.
-B) **21,843-class streaming fusion** — ``ops/fusion.py`` row-chunked F1
-   must stay inside ``BUDGET_FUSION`` (a [M,C] logits materialization at
-   M=21843*64 would be ~114 TiB fp32; even one [M,C] one-hot chunk per
-   row-block held across the scan would blow the budget).
+A) **stage-2 CoOp steps, the real trainer's own jitted ``_step``**
+   (``engine/coop.py``), at both loss regimes on ViT-B/16:
+   - 400 classes -> the 3-prompt sum loss (1200 prompts differentiate
+     through the frozen text tower);
+   - 1000 classes -> the >400-class single-random-prompt branch.
+   Plain-XLA saved intermediates for the differentiated text tower need
+   tens of GB at these shapes (86 GB at 3000 prompts — DESIGN.md backward
+   table; compile-time OOM on the 15.75 GiB chip); the remat/fused-VJP
+   design must stay inside ``BUDGET_S2``.
+B) **21,843-class streaming fusion** (``ops/fusion.py``) must stay inside
+   ``BUDGET_FUSION`` (a [M,C] logits materialization at M=21843*64 rows
+   would be ~2.8 TiB fp32).
 
-Compile-time analysis is the right instrument here: the failure mode being
-guarded (XLA deciding to save intermediates for backward / a fallback to
-unchunked fusion) is a *program-structure* regression visible in buffer
-assignment, it is deterministic, and it works through the axon relay,
-which returns ``memory_stats() = None`` at runtime. Lowering uses
-``jax.ShapeDtypeStruct`` operands, so no arrays are materialized and
-nothing executes — the guard costs one (cached) compile per case.
+Compile-time analysis is the right instrument: the guarded failure mode
+(XLA saving intermediates / a fallback to unchunked fusion) is a
+*program-structure* regression visible in buffer assignment, it is
+deterministic, and it works through the axon relay, which returns
+``memory_stats() = None`` at runtime. Array operands lower from
+``jax.ShapeDtypeStruct``s; nothing executes — each guard costs one
+(cached) compile. Backends whose AOT pipeline exposes no memory analysis
+return -1 and skip the assert LOUDLY.
 
 Budgets carry ~1.5x headroom over the measured round-5 peaks so compiler
 noise passes but a silent fallback to the memory-hungry recipe fails
@@ -36,10 +42,11 @@ import jax
 import jax.numpy as jnp
 
 GIB = 2**30
-# measured round 5 (v5e compile-time peaks): stage-2 6.39 GiB, fusion
-# 2.75 GiB — see DESIGN.md "Memory guards"; budgets ~1.5x measured, both
-# far inside the 15.75 GiB chip (plain XLA's stage-2 would need 86 GB)
-BUDGET_S2 = int(9.5 * GIB)
+# measured round 5 (v5e compile-time peaks, real trainer steps): stage-2
+# 2.68 GiB at 400cls/3-prompt, 2.30 GiB at 1000cls/1-prompt, fusion 2.75
+# GiB — see DESIGN.md "Memory guards"; budgets ~1.5-2x measured, all far
+# inside the 15.75 GiB chip
+BUDGET_S2 = int(4.5 * GIB)
 BUDGET_FUSION = int(5.5 * GIB)
 
 
@@ -47,8 +54,7 @@ def _sds(shape, dtype):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _param_sds(tree):
-    # eval_shape already yields ShapeDtypeStructs; normalize any real leaves
+def _tree_sds(tree):
     return jax.tree_util.tree_map(
         lambda x: x
         if isinstance(x, jax.ShapeDtypeStruct)
@@ -57,90 +63,73 @@ def _param_sds(tree):
     )
 
 
-def compiled_peak_stage2_3000prompt():
-    """Compile one 1000-class 3-prompt CoOp fwd+bwd (ctx grads THROUGH the
-    frozen text tower, 3000 prompts total) and return XLA's peak bytes."""
-    import optax
+def _peak_of(lowerable, *args, **kwargs):
+    """Lower+compile and read peak bytes; -1 when the backend's AOT
+    pipeline exposes no memory analysis."""
+    compiled = lowerable.lower(*args, **kwargs).compile()
+    try:
+        ma = compiled.memory_analysis()
+        if ma is None:
+            raise AttributeError("memory_analysis() returned None")
+        return int(ma.peak_memory_in_bytes)
+    except Exception as e:  # loud skip: the guard cannot run here
+        print(f"mem_guard: no compile-time memory analysis ({e}); SKIPPING")
+        return -1
 
-    from ovmr_tpu.engine.optimizers import build_optimizer
-    from ovmr_tpu.engine.train_step import _text_tower_block_fn
-    from ovmr_tpu.models import clip as jclip
-    from ovmr_tpu.ops.block_fused import fused_residual_block
-    from ovmr_tpu.ops.layers import attention_xla, l2_normalize
+
+def _build_stage2_trainer(n_cls: int):
+    """The real CoOp trainer (engine/coop.py) with ViT-B/16-geometry
+    random weights and zero vokens, built without a DataManager."""
+    from ovmr_tpu.engine.coop import CoOp
     from ovmr_tpu.utils.defaults import get_cfg_default
 
-    on_tpu = jax.default_backend() == "tpu"
-    block_fn = fused_residual_block if on_tpu else None
-    cfg = jclip.VIT_B16
-    n_cls, n_ctx, vok_len, batch = 1000, 4, 2, 32
-    dim = cfg.transformer_width
-    tail = 77 - 1 - n_ctx - vok_len
-    text_block = _text_tower_block_fn(block_fn, attention_xla)
-    tx = build_optimizer(get_cfg_default().OPTIM)
+    cfg = get_cfg_default()
+    cfg.TRAINER.NAME = "CoOp"
+    cfg.TRAINER.COOP.N_CTX = 2
+    cfg.TRAINER.COOP.CTX_INIT = ""
+    cfg.TRAINER.COOP.VISUAL_TOKEN_PATH = ""  # zero vokens (shape-identical)
+    cfg.MODEL.BACKBONE.NAME = "ViT-B/16"
+    cfg.INPUT.SIZE = (224, 224)
+    cfg.TPU.DTYPE = "bfloat16"
+    cfg.SEED = 1
 
-    def step(params, prefix, suffix, vis_tail, vokens, eot, p, o, images,
-             labels):
-        feats = l2_normalize(
-            jclip.encode_image(
-                params, cfg, images, attn_fn=attention_xla, block_fn=block_fn
-            )
-        ).astype(jnp.float32)
-        scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
+    trainer = CoOp.__new__(CoOp)
+    trainer.cfg = cfg
 
-        def loss_fn(pp):
-            ctx = jnp.broadcast_to(
-                pp["ctx"].astype(jnp.bfloat16)[None], (n_cls, n_ctx, dim)
-            )
-            mm = jnp.concatenate([prefix, ctx, vokens, suffix[:, :-2]], 1)
-            v = jnp.concatenate([prefix, ctx, vokens, vis_tail], 1)
-            t = jnp.concatenate([prefix, ctx, suffix], 1)
-            total = 0.0
-            for embeds, e in ((mm, eot + vok_len), (v, eot + vok_len), (t, eot)):
-                f = l2_normalize(
-                    jclip.encode_text_embeds(
-                        params, cfg, embeds, e,
-                        attn_fn=attention_xla, block_fn=text_block,
-                    )
-                ).astype(jnp.float32)
-                total = total + optax.softmax_cross_entropy_with_integer_labels(
-                    scale * feats @ f.T, labels
-                ).mean()
-            return total
+    class _DS:
+        classnames = [f"x {i:04d}" for i in range(n_cls)]
 
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        upd, new_o = tx.update(grads, o, p)
-        return optax.apply_updates(p, upd), new_o, loss
+    class _DM:
+        dataset = _DS()
 
-    params_sds = _param_sds(
-        jax.eval_shape(
-            lambda k: jclip.init_params(k, cfg, dtype=jnp.bfloat16),
-            jax.random.PRNGKey(0),
-        )
-    )
-    ctx_sds = {"ctx": _sds((n_ctx, dim), jnp.float32)}
-    opt_sds = _param_sds(
-        jax.eval_shape(tx.init, ctx_sds)
-    )
+    trainer.dm = _DM()
+    trainer.build_model()
+    return trainer
+
+
+def compiled_peak_stage2(n_cls: int, batch: int = 32):
+    """Peak bytes of the trainer's OWN jitted step at `n_cls` classes
+    (>400 takes the single-random-prompt branch, like the real run)."""
+    import gc
+
+    trainer = _build_stage2_trainer(n_cls)
     args = (
-        params_sds,
-        _sds((n_cls, 1, dim), jnp.bfloat16),          # prefix
-        _sds((n_cls, 77 - 1 - n_ctx, dim), jnp.bfloat16),  # suffix
-        _sds((n_cls, tail, dim), jnp.bfloat16),       # vis_tail
-        _sds((n_cls, vok_len, dim), jnp.bfloat16),    # vokens
-        _sds((n_cls,), jnp.int32),                    # eot
-        ctx_sds,
-        opt_sds,
-        _sds((batch, 3, 224, 224), jnp.bfloat16),     # images
-        _sds((batch,), jnp.int32),                    # labels
+        _tree_sds(trainer.params),
+        _tree_sds(trainer.opt_state),
+        _tree_sds(trainer.clip_params),
+        _sds((batch, 3, 224, 224), jnp.bfloat16),
+        _sds((batch,), jnp.int32),
     )
-    compiled = jax.jit(step).lower(*args).compile()
-    return int(compiled.memory_analysis().peak_memory_in_bytes)
+    peak = _peak_of(trainer._step, *args, prompt_ind=0)
+    del trainer  # drops the real device arrays build_model created
+    gc.collect()
+    return peak
 
 
 def compiled_peak_fusion_21k(n_cls: int = 21843, shots: int = 64,
                              dim: int = 512):
-    """Compile streaming fusion weights at the full ImageNet21k-OVR export
-    scale and return XLA's peak bytes."""
+    """Peak bytes of the shipped streaming fusion at the full
+    ImageNet21k-OVR export scale."""
     from ovmr_tpu.ops.fusion import streaming_fusion_weights
 
     def fusion(feats, labels, mm, v, t, scale):
@@ -155,34 +144,43 @@ def compiled_peak_fusion_21k(n_cls: int = 21843, shots: int = 64,
         cls_sds, cls_sds, cls_sds,
         _sds((), jnp.float32),
     )
-    compiled = jax.jit(fusion).lower(*args).compile()
-    return int(compiled.memory_analysis().peak_memory_in_bytes)
+    return _peak_of(jax.jit(fusion), *args)
 
 
 def run_guards(verbose: bool = True):
-    """Compile both cases and assert the budgets. Returns the peaks."""
-    peak_s2 = compiled_peak_stage2_3000prompt()
+    """Compile all cases and assert the budgets. Returns the peaks
+    (-1 entries mean the backend exposes no analysis; asserts skipped)."""
+    peak_s2_3p = compiled_peak_stage2(400)    # 3-prompt regime
+    peak_s2_1p = compiled_peak_stage2(1000)   # single-random-prompt regime
     peak_fu = compiled_peak_fusion_21k()
-    out = {"peak_s2_bytes": peak_s2, "peak_fusion_bytes": peak_fu}
+    out = {
+        "peak_s2_400cls_3prompt_bytes": peak_s2_3p,
+        "peak_s2_1000cls_1prompt_bytes": peak_s2_1p,
+        "peak_fusion_bytes": peak_fu,
+    }
     if verbose:
-        print(
-            f"stage-2 3000-prompt fwd+bwd: compile-time peak "
-            f"{peak_s2 / GIB:.2f} GiB (budget {BUDGET_S2 / GIB:.1f})"
+        for name, v, budget in (
+            ("stage-2 400cls 3-prompt step ", peak_s2_3p, BUDGET_S2),
+            ("stage-2 1000cls 1-prompt step", peak_s2_1p, BUDGET_S2),
+            ("21k streaming fusion         ", peak_fu, BUDGET_FUSION),
+        ):
+            shown = f"{v / GIB:.2f} GiB" if v >= 0 else "n/a"
+            print(f"{name}: compile-time peak {shown} "
+                  f"(budget {budget / GIB:.1f})")
+    for name, v in (("400cls/3-prompt", peak_s2_3p),
+                    ("1000cls/1-prompt", peak_s2_1p)):
+        if v >= 0:
+            assert v <= BUDGET_S2, (
+                f"stage-2 {name} peak HBM {v / GIB:.2f} GiB exceeds the "
+                f"{BUDGET_S2 / GIB:.1f} GiB budget — the remat/fused-VJP "
+                "memory win regressed (DESIGN.md backward table)"
+            )
+    if peak_fu >= 0:
+        assert peak_fu <= BUDGET_FUSION, (
+            f"fusion peak HBM {peak_fu / GIB:.2f} GiB exceeds the "
+            f"{BUDGET_FUSION / GIB:.1f} GiB budget — the row-streaming "
+            "memory win regressed (no [M,C] materialization allowed)"
         )
-        print(
-            f"21k streaming fusion:        compile-time peak "
-            f"{peak_fu / GIB:.2f} GiB (budget {BUDGET_FUSION / GIB:.1f})"
-        )
-    assert peak_s2 <= BUDGET_S2, (
-        f"stage-2 peak HBM {peak_s2 / GIB:.2f} GiB exceeds the "
-        f"{BUDGET_S2 / GIB:.1f} GiB budget — the remat/fused-VJP memory "
-        "win regressed (DESIGN.md backward table: plain XLA saves 86 GB)"
-    )
-    assert peak_fu <= BUDGET_FUSION, (
-        f"fusion peak HBM {peak_fu / GIB:.2f} GiB exceeds the "
-        f"{BUDGET_FUSION / GIB:.1f} GiB budget — the row-streaming "
-        "memory win regressed (no [M,C] materialization allowed)"
-    )
     return out
 
 

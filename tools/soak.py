@@ -123,23 +123,18 @@ def main():
     dev_bufs = None
     if not args.host_feed:
         if args.augment:
-            dev_bufs = [
-                jax.jit(
-                    lambda k: jax.random.randint(
-                        k, (num_cls, n_ins, 256, 256, 3), 0, 256, jnp.int32
-                    ).astype(jnp.uint8)
-                )(jax.random.PRNGKey(100 + i))
-                for i in range(args.buffers)
-            ]
+            gen = jax.jit(
+                lambda k: jax.random.randint(
+                    k, (num_cls, n_ins, 256, 256, 3), 0, 256, jnp.int32
+                ).astype(jnp.uint8)
+            )
         else:
-            dev_bufs = [
-                jax.jit(
-                    lambda k: jax.random.normal(
-                        k, (num_cls, n_ins, 3, 224, 224), jnp.bfloat16
-                    )
-                )(jax.random.PRNGKey(100 + i))
-                for i in range(args.buffers)
-            ]
+            gen = jax.jit(
+                lambda k: jax.random.normal(
+                    k, (num_cls, n_ins, 3, 224, 224), jnp.bfloat16
+                )
+            )
+        dev_bufs = [gen(jax.random.PRNGKey(100 + i)) for i in range(args.buffers)]
         jax.block_until_ready(dev_bufs)
 
     splits = [2, 3, 4, 5]  # the U[2,6) support at n_ins=8
@@ -187,13 +182,16 @@ def main():
         "host_feed": bool(args.host_feed),
         "batch": num_cls * n_ins,
         "wall_s": round(wall, 1),
+        # disjoint head/tail windows (at most half the warm series each) so
+        # the drift comparison is never self-referential on short runs
         "steady_ms": {
             "p10": round(float(np.percentile(warm, 10)), 1),
             "p50": round(float(np.percentile(warm, 50)), 1),
             "p90": round(float(np.percentile(warm, 90)), 1),
             "p99": round(float(np.percentile(warm, 99)), 1),
-            "mean_first50": round(float(warm[:50].mean()), 1),
-            "mean_last50": round(float(warm[-50:].mean()), 1),
+            "window": (w := min(50, len(warm) // 2)),
+            "mean_first_window": round(float(warm[:w].mean()), 1),
+            "mean_last_window": round(float(warm[-w:].mean()), 1),
         },
         "img_s_p50": round(
             num_cls * n_ins / (float(np.percentile(warm, 50)) / 1e3), 1
