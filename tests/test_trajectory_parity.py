@@ -518,3 +518,121 @@ def test_dann_trajectory_matches_reference_trainer():
     # critic BN inputs inherit the adam-noise drift of the fc params;
     # stats are O(1), so an absolute band is the right instrument
     _assert_tree_close(final_cs, data, "final/c/batch_stats", atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Dassl MCD (tools/gen_trajectory_golden_mcd.py): three-phase alternating
+# scheduling — step A updates F+C1+C2, step B updates C1/C2 against frozen-F
+# features (whose no-grad forwards still advance BN), step C updates F
+# N_STEP_F times; SGD(momentum, nesterov) x3 + linear-warmup->cosine
+# (dassl/engine/da/mcd.py:50-98)
+# ---------------------------------------------------------------------------
+
+MCD_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_mcd_golden.npz"
+)
+MCD_EPOCHS, MCD_BATCHES = 3, 2
+
+
+def test_mcd_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.da import MCD
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(MCD_FIXTURE)
+    base_lr, min_lr, wd, momentum, n_step_f = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.MCD.N_STEP_F = int(n_step_f)
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.SGD_NESTEROV = True
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = MCD_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "linear"
+    cfg.OPTIM.WARMUP_MIN_LR = float(min_lr)
+    cfg.SEED = 1
+
+    trainer = MCD.__new__(MCD)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    sF = trainer._models["F"]
+    assert _transplant(sF["params"], data, "init/F/params") == 12
+    assert _transplant(sF["batch_stats"], data, "init/F/batch_stats") == 2
+    sF["opt_state"] = trainer._txs["F"].init(sF["params"])
+    for name in ("C1", "C2"):
+        s = trainer._models[name]
+        assert _transplant(s["params"], data, f"init/{name}/params") == 2
+        s["opt_state"] = trainer._txs[name].init(s["params"])
+
+    imgs_x = np.asarray(data["imgs_x"], np.float32)
+    imgs_u = np.asarray(data["imgs_u"], np.float32)
+    labels_x = data["labels_x"]
+
+    losses_a, losses_b, losses_c = [], [], []
+    step = 0
+    trainer.num_batches = MCD_BATCHES
+    for epoch in range(MCD_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()  # set_lr on ALL THREE registered states
+        for b in range(MCD_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            batch_x = {
+                "img": imgs_x[i],
+                "label": labels_x[i].astype(np.int64),
+            }
+            batch_u = {
+                "img": imgs_u[i],
+                "label": np.zeros(imgs_u.shape[1], np.int64),
+            }
+            out = trainer.forward_backward_xu(batch_x, batch_u)
+            losses_a.append(out["loss_step_A"])
+            losses_b.append(out["loss_step_B"])
+            losses_c.append(out["loss_step_C"])
+            step += 1
+
+    # SGD trajectories are fp32-stable; any drift in the A/B/C phase
+    # ordering, the no-grad BN advancement, or the per-phase optimizer
+    # gating moves step 2+ at the percent level
+    np.testing.assert_allclose(losses_a, data["loss_step_A"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(losses_b, data["loss_step_B"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(losses_c, data["loss_step_C"], rtol=1e-4, atol=1e-5)
+
+    final_F = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["params"]
+    )
+    _assert_tree_close(final_F, data, "final/F/params", atol=5e-5)
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["batch_stats"]
+    )
+    # the 1+2+N_STEP_F train-mode forwards per step are part of this pin
+    _assert_tree_close(final_bs, data, "final/F/batch_stats", atol=5e-5)
+    for name in ("C1", "C2"):
+        final = jax.tree_util.tree_map(
+            lambda x: np.array(x), trainer._models[name]["params"]
+        )
+        _assert_tree_close(final, data, f"final/{name}/params", atol=5e-5)
