@@ -193,7 +193,14 @@ def build_optimizer(
     elif name == "rmsprop":
         def chain_for(lr):
             parts = [optax.add_decayed_weights(wd)] if wd > 0 else []
-            parts.append(optax.scale_by_rms(decay=rms_alpha, eps=1e-8))
+            # torch RMSprop (reference optimizer.py:116-122): denom =
+            # sqrt(nu) + eps, eps OUTSIDE the root; optax defaults to
+            # eps_in_sqrt=True
+            parts.append(
+                optax.scale_by_rms(
+                    decay=rms_alpha, eps=1e-8, eps_in_sqrt=False
+                )
+            )
             if mom > 0:
                 parts.append(optax.trace(decay=mom))
             parts.append(optax.scale(-lr))

@@ -59,6 +59,47 @@ def test_custom_adam_matches_reference():
     np.testing.assert_allclose(traj, data["custom_adam"], atol=2e-6, rtol=2e-6)
 
 
+def test_rmsprop_matches_torch():
+    """12-step rmsprop trajectory vs live torch.optim.RMSprop (reference
+    ``optimizer.py:116-122``): coupled wd enters the square-average, eps is
+    added OUTSIDE the root (optax's default eps_in_sqrt=True diverges at the
+    1e-3 level within a few steps), momentum buffers the rescaled grad."""
+    import torch
+
+    rng = np.random.default_rng(5)
+    p0 = rng.standard_normal(16).astype(np.float32)
+    grads = rng.standard_normal((12, 16)).astype(np.float32) * 0.3
+    lr, wd, mom, alpha = 0.01, 5e-4, 0.9, 0.99
+
+    p_t = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt_t = torch.optim.RMSprop(
+        [p_t], lr=lr, momentum=mom, weight_decay=wd, alpha=alpha
+    )
+    traj_t = []
+    for g in grads:
+        opt_t.zero_grad()
+        p_t.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+        traj_t.append(p_t.detach().numpy().copy())
+
+    cfg = get_cfg_default()
+    cfg.OPTIM.NAME = "rmsprop"
+    cfg.OPTIM.LR = lr
+    cfg.OPTIM.WEIGHT_DECAY = wd
+    cfg.OPTIM.MOMENTUM = mom
+    cfg.OPTIM.RMSPROP_ALPHA = alpha
+    opt = build_optimizer(cfg.OPTIM)
+    params = {"w": jnp.asarray(p0)}
+    state = opt.init(params)
+    traj = []
+    for g in grads:
+        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        traj.append(np.asarray(params["w"]))
+
+    np.testing.assert_allclose(np.stack(traj), np.stack(traj_t), atol=2e-6)
+
+
 def test_staged_lr_param_groups():
     """NEW_LAYERS params step at LR, the rest at LR*BASE_LR_MULT
     (reference ``optimizer.py:46-80``)."""

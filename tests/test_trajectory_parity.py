@@ -636,3 +636,150 @@ def test_mcd_trajectory_matches_reference_trainer():
             lambda x: np.array(x), trainer._models[name]["params"]
         )
         _assert_tree_close(final, data, f"final/{name}/params", atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Dassl MeanTeacher (tools/gen_trajectory_golden_mt.py): EMA-teacher
+# scheduling — sigmoid_rampup(epoch) weight, min(1-1/(g+1), alpha) decay
+# with the cap crossover inside the run, teacher BN advancing on its own
+# train-mode forwards while only params are EMA'd — on RMSprop(momentum),
+# the end-to-end witness for the eps-outside-the-root denominator
+# (dassl/engine/ssl/mean_teacher.py:27-54, torch optimizer.py:116-122)
+# ---------------------------------------------------------------------------
+
+MT_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_mt_golden.npz"
+)
+MT_EPOCHS, MT_BATCHES = 3, 2
+
+
+def test_mean_teacher_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.ssl import MeanTeacher
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(MT_FIXTURE)
+    (base_lr, min_lr, wd, momentum, rms_alpha, step_size, gamma,
+     weight_u, ema_alpha, rampup) = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.MEANTEACHER.WEIGHT_U = float(weight_u)
+    cfg.TRAINER.MEANTEACHER.EMA_ALPHA = float(ema_alpha)
+    cfg.TRAINER.MEANTEACHER.RAMPUP = int(rampup)
+    cfg.OPTIM.NAME = "rmsprop"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.RMSPROP_ALPHA = float(rms_alpha)
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = MT_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "single_step"
+    cfg.OPTIM.STEPSIZE = (int(step_size),)
+    cfg.OPTIM.GAMMA = float(gamma)
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "linear"
+    cfg.OPTIM.WARMUP_MIN_LR = float(min_lr)
+    cfg.SEED = 1
+
+    trainer = MeanTeacher.__new__(MeanTeacher)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    state = trainer.state
+    assert _transplant(state["params"], data, "init/s/params") == 14
+    assert _transplant(state["batch_stats"], data, "init/s/batch_stats") == 2
+    state["opt_state"] = trainer.tx.init(state["params"])
+    # the teacher starts as an exact copy of the (transplanted) student
+    trainer.teacher = {
+        "params": jax.tree_util.tree_map(jnp.asarray, state["params"]),
+        "batch_stats": jax.tree_util.tree_map(
+            jnp.asarray, state["batch_stats"]
+        ),
+    }
+
+    imgs_x = np.asarray(data["imgs_x"], np.float32)
+    imgs_u = np.asarray(data["imgs_u"], np.float32)
+    labels_x = data["labels_x"]
+
+    losses_x, losses_u = [], []
+    step = 0
+    trainer.num_batches = MT_BATCHES
+    for epoch in range(MT_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(MT_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            batch_x = {
+                "img": imgs_x[i],
+                "label": labels_x[i].astype(np.int64),
+            }
+            batch_u = {
+                "img": imgs_u[i],
+                "label": np.zeros(imgs_u.shape[1], np.int64),
+            }
+            out = trainer.forward_backward_xu(batch_x, batch_u)
+            losses_x.append(out["loss_x"])
+            losses_u.append(out["loss_u"])
+            step += 1
+
+    # steps 0-1 have loss_u EXACTLY 0 (alpha ramp starts at 0, so the
+    # teacher tracks the student until g>=1) — part of the pin
+    np.testing.assert_allclose(losses_x, data["loss_x"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(losses_u, data["loss_u"], rtol=1e-3, atol=1e-6)
+    assert losses_u[0] == 0.0 and losses_u[1] == 0.0
+    assert losses_u[3] > 1e-3  # the consistency term really engages
+
+    # Final state: rmsprop normalizes gradient magnitudes away, so along
+    # the head-BN gauge directions (conv/fc0 rescalings bn0 absorbs —
+    # loss-INVARIANT, hence noise-sign-driven) raw params drift with the
+    # XLA reduction order (the 8-virtual-device harness threads sums
+    # differently than a single-device run). The function is the
+    # gauge-invariant object: pin probe-batch logits of our final
+    # student/teacher against the SAME nets rebuilt from the reference's
+    # dumped final params, and keep only a coarse sanity band on raw
+    # params (catches transplant/dump-path mistakes).
+    def probe_logits(params, batch_stats):
+        return np.asarray(
+            trainer.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                jnp.asarray(imgs_x[0]).transpose(0, 2, 3, 1),
+                train=False,
+            )
+        )
+
+    for tag, ours in (
+        ("s", trainer.state),
+        ("t", trainer.teacher),
+    ):
+        ref_p = jax.tree_util.tree_map(lambda x: np.array(x), ours["params"])
+        ref_bs = jax.tree_util.tree_map(
+            lambda x: np.array(x), ours["batch_stats"]
+        )
+        assert _transplant(ref_p, data, f"final/{tag}/params") == 14
+        assert _transplant(ref_bs, data, f"final/{tag}/batch_stats") == 2
+        np.testing.assert_allclose(
+            probe_logits(ours["params"], ours["batch_stats"]),
+            probe_logits(ref_p, ref_bs),
+            rtol=2e-3, atol=2e-3, err_msg=f"final {tag} function",
+        )
+        final = jax.tree_util.tree_map(lambda x: np.array(x), ours["params"])
+        _assert_tree_close(final, data, f"final/{tag}/params", atol=5e-2)
