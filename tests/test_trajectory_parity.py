@@ -783,3 +783,125 @@ def test_mean_teacher_trajectory_matches_reference_trainer():
         )
         final = jax.tree_util.tree_map(lambda x: np.array(x), ours["params"])
         _assert_tree_close(final, data, f"final/{tag}/params", atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# Dassl DDAIG (tools/gen_trajectory_golden_ddaig.py): adversarial-generator
+# scheduling — G updated on CE(F(G(x))) - CE(D(G(x))) with train-mode F/D
+# forwards advancing BN, re-perturb with the UPDATED G (+clamp), F blends
+# the perturbed CE only past WARMUP (the branch flips inside this run), D
+# on domain CE; three SGD(momentum) optimizers + constant-warmup->cosine.
+# Also the only torch-parity pin for the fcn_3x32_gctx generator fwd+bwd
+# (dassl/engine/dg/ddaig.py:54-104, ddaig_fcn.py:163-288)
+# ---------------------------------------------------------------------------
+
+DDAIG_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_ddaig_golden.npz"
+)
+DDAIG_EPOCHS, DDAIG_BATCHES = 3, 2
+
+
+def test_ddaig_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.dg import DDAIG
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(DDAIG_FIXTURE)
+    (base_lr, cons_lr, wd, momentum, lmda, alpha, warmup,
+     clamp_min, clamp_max) = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.DDAIG.G_ARCH = "fcn_3x32_gctx"
+    cfg.TRAINER.DDAIG.LMDA = float(lmda)
+    cfg.TRAINER.DDAIG.ALPHA = float(alpha)
+    cfg.TRAINER.DDAIG.WARMUP = int(warmup)
+    cfg.TRAINER.DDAIG.CLAMP = True
+    cfg.TRAINER.DDAIG.CLAMP_MIN = float(clamp_min)
+    cfg.TRAINER.DDAIG.CLAMP_MAX = float(clamp_max)
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.SGD_NESTEROV = False
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = DDAIG_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = float(cons_lr)
+    cfg.SEED = 1
+
+    trainer = DDAIG.__new__(DDAIG)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+        num_source_domains = 2
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    for name, n_params in (("F", 14), ("D", 14), ("G", 10)):
+        s = trainer._models[name]
+        assert _transplant(s["params"], data, f"init/{name}/params") == n_params
+        if name != "G":  # the FCN's instance norms carry no running stats
+            assert _transplant(
+                s["batch_stats"], data, f"init/{name}/batch_stats"
+            ) == 2
+        s["opt_state"] = trainer._txs[name].init(s["params"])
+
+    imgs = np.asarray(data["imgs"], np.float32)
+    labels = data["labels"]
+    domains = data["domains"]
+
+    losses_g, losses_f, losses_d = [], [], []
+    step = 0
+    trainer.num_batches = DDAIG_BATCHES
+    for epoch in range(DDAIG_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()  # set_lr on F, D AND G
+        for b in range(DDAIG_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            batch = {
+                "img": imgs[i],
+                "label": labels[i].astype(np.int64),
+                "domain": domains[i].astype(np.int64),
+            }
+            out = trainer.forward_backward(batch)
+            losses_g.append(out["loss_g"])
+            losses_f.append(out["loss_f"])
+            losses_d.append(out["loss_d"])
+            step += 1
+
+    # any drift in the G/F/D phase ordering, the warmup branch, the
+    # clamp, or the no-grad re-perturb moves step 2+ at the percent level
+    np.testing.assert_allclose(losses_g, data["loss_g"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_f, data["loss_f"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_d, data["loss_d"], rtol=2e-4, atol=2e-5)
+
+    for name in ("F", "D", "G"):
+        final = jax.tree_util.tree_map(
+            lambda x: np.array(x), trainer._models[name]["params"]
+        )
+        _assert_tree_close(final, data, f"final/{name}/params", atol=1e-4)
+        if name != "G":
+            final_bs = jax.tree_util.tree_map(
+                lambda x: np.array(x), trainer._models[name]["batch_stats"]
+            )
+            _assert_tree_close(
+                final_bs, data, f"final/{name}/batch_stats", atol=1e-4
+            )
