@@ -34,6 +34,53 @@ class _MomentState(NamedTuple):
     nu: optax.Updates
 
 
+class _AmsgradState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+    nu_max: optax.Updates
+
+
+def scale_by_amsgrad_torch(
+    b1: float, b2: float, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """Torch-semantics AMSGrad update (pre-lr; chain with ``optax.scale(-lr)``).
+
+    Torch ``Adam(amsgrad=True)`` maxes the RAW second moment and
+    bias-corrects the max afterwards (``max_exp_avg_sq = max(.., v_t)``;
+    ``denom = sqrt(max)/sqrt(1-b2^t) + eps``). ``optax.scale_by_amsgrad``
+    instead maxes the bias-CORRECTED moment, which holds onto inflated
+    early-step values — not equivalent."""
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _AmsgradState(
+            count=jnp.zeros([], jnp.int32), mu=z, nu=z, nu_max=z
+        )
+
+    def update(updates, state, params=None):
+        del params
+        t = state.count + 1
+        tf = t.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates
+        )
+        nu_max = jax.tree_util.tree_map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1 - b1**tf
+        bc2_sqrt = jnp.sqrt(1 - b2**tf)
+        new_updates = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v) / bc2_sqrt + eps),
+            mu,
+            nu_max,
+        )
+        return new_updates, _AmsgradState(count=t, mu=mu, nu=nu, nu_max=nu_max)
+
+    return optax.GradientTransformation(init, update)
+
+
 def scale_by_radam_torch(
     b1: float,
     b2: float,
@@ -169,7 +216,11 @@ def build_optimizer(
     if name in ("adam", "amsgrad"):
         def chain_for(lr):
             parts = [optax.add_decayed_weights(wd)] if wd > 0 else []
-            parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8))
+            if name == "amsgrad":
+                # torch Adam(amsgrad=True) (reference optimizer.py:96-103)
+                parts.append(scale_by_amsgrad_torch(b1=b1, b2=b2))
+            else:
+                parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8))
             parts.append(optax.scale(-lr))
             return optax.chain(*parts)
 

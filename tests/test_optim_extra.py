@@ -59,6 +59,37 @@ def test_custom_adam_matches_reference():
     np.testing.assert_allclose(traj, data["custom_adam"], atol=2e-6, rtol=2e-6)
 
 
+def test_amsgrad_matches_torch():
+    """12-step amsgrad trajectory vs live torch.optim.Adam(amsgrad=True)
+    (reference ``optimizer.py:96-103``): torch maxes the RAW second moment
+    and bias-corrects the max afterwards; optax.scale_by_amsgrad maxes the
+    bias-corrected moment (holds inflated early values) — not equivalent,
+    so build_optimizer ships the torch-exact transform."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    p0 = rng.standard_normal(16).astype(np.float32)
+    # large first grads then small: the raw-vs-corrected max ordering
+    # difference shows up as soon as nu_hat's early inflation would win
+    grads = rng.standard_normal((12, 16)).astype(np.float32)
+    grads[0] *= 4.0
+    lr, wd = 0.01, 5e-4
+
+    p_t = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt_t = torch.optim.Adam(
+        [p_t], lr=lr, weight_decay=wd, amsgrad=True
+    )
+    traj_t = []
+    for g in grads:
+        opt_t.zero_grad()
+        p_t.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+        traj_t.append(p_t.detach().numpy().copy())
+
+    traj = run_trajectory("amsgrad", wd, p0, grads, lr=lr)
+    np.testing.assert_allclose(traj, np.stack(traj_t), atol=2e-6)
+
+
 def test_rmsprop_matches_torch():
     """12-step rmsprop trajectory vs live torch.optim.RMSprop (reference
     ``optimizer.py:116-122``): coupled wd enters the square-average, eps is

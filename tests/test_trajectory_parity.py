@@ -905,3 +905,124 @@ def test_ddaig_trajectory_matches_reference_trainer():
             _assert_tree_close(
                 final_bs, data, f"final/{name}/batch_stats", atol=1e-4
             )
+
+
+# ---------------------------------------------------------------------------
+# Dassl CrossGrad (tools/gen_trajectory_golden_crossgrad.py): input-gradient
+# perturbation scheduling — clipped (+-0.1) input-grads from TRAIN-mode
+# forwards whose BN updates carry into the parameter steps, the eps_f/eps_d
+# cross-application quirk, F on the (x, x_d) blend, D on the (x, x_f)
+# blend — on torch Adam(amsgrad=True): the end-to-end witness for the
+# torch-exact AMSGrad transform (raw-moment max, bias-corrected after)
+# (dassl/engine/dg/crossgrad.py:43-80, optimizer.py:96-103)
+# ---------------------------------------------------------------------------
+
+CG_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_crossgrad_golden.npz"
+)
+CG_EPOCHS, CG_BATCHES = 3, 2
+
+
+def test_crossgrad_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.dg import CrossGrad
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(CG_FIXTURE)
+    base_lr, cons_lr, wd, eps_f, eps_d, alpha_f, alpha_d = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.CROSSGRAD.EPS_F = float(eps_f)
+    cfg.TRAINER.CROSSGRAD.EPS_D = float(eps_d)
+    cfg.TRAINER.CROSSGRAD.ALPHA_F = float(alpha_f)
+    cfg.TRAINER.CROSSGRAD.ALPHA_D = float(alpha_d)
+    cfg.OPTIM.NAME = "amsgrad"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = CG_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = float(cons_lr)
+    cfg.SEED = 1
+
+    trainer = CrossGrad.__new__(CrossGrad)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+        num_source_domains = 2
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    for name in ("F", "D"):
+        s = trainer._models[name]
+        assert _transplant(s["params"], data, f"init/{name}/params") == 14
+        assert _transplant(
+            s["batch_stats"], data, f"init/{name}/batch_stats"
+        ) == 2
+        s["opt_state"] = trainer._txs[name].init(s["params"])
+
+    imgs = np.asarray(data["imgs"], np.float32)
+    labels = data["labels"]
+    domains = data["domains"]
+
+    losses_f, losses_d = [], []
+    step = 0
+    trainer.num_batches = CG_BATCHES
+    for epoch in range(CG_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(CG_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            batch = {
+                "img": imgs[i],
+                "label": labels[i].astype(np.int64),
+                "domain": domains[i].astype(np.int64),
+            }
+            out = trainer.forward_backward(batch)
+            losses_f.append(out["loss_f"])
+            losses_d.append(out["loss_d"])
+            step += 1
+
+    # adam-family noise amplification applies (see the DANN comment); the
+    # small fixture lr keeps fp32 trajectories on the same branch, so pin
+    # tightly throughout — a perturbation-direction or eps-swap drift
+    # moves step 1+ at the percent level
+    np.testing.assert_allclose(losses_f, data["loss_f"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(losses_d, data["loss_d"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        losses_f[:3], data["loss_f"][:3], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        losses_d[:3], data["loss_d"][:3], rtol=1e-5, atol=1e-5
+    )
+
+    for name in ("F", "D"):
+        final = jax.tree_util.tree_map(
+            lambda x: np.array(x), trainer._models[name]["params"]
+        )
+        _assert_tree_close(final, data, f"final/{name}/params",
+                           atol=8 * float(base_lr))
+        final_bs = jax.tree_util.tree_map(
+            lambda x: np.array(x), trainer._models[name]["batch_stats"]
+        )
+        _assert_tree_close(
+            final_bs, data, f"final/{name}/batch_stats", atol=5e-3
+        )
