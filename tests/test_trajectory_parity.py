@@ -1026,3 +1026,232 @@ def test_crossgrad_trajectory_matches_reference_trainer():
         _assert_tree_close(
             final_bs, data, f"final/{name}/batch_stats", atol=5e-3
         )
+
+
+# ---------------------------------------------------------------------------
+# Dassl MME (tools/gen_trajectory_golden_mme.py): minimax-entropy scheduling
+# — two full backward_and_update rounds per step (supervised CE, then
+# lmda-weighted negative entropy with the GRL at the feature boundary of
+# the temp-0.05 cosine prototype classifier), round 2 consuming round 1's
+# updated params and BN stats (dassl/engine/da/mme.py:59-83)
+# ---------------------------------------------------------------------------
+
+MME_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_mme_golden.npz"
+)
+MME_EPOCHS, MME_BATCHES = 3, 2
+
+
+def test_mme_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.da import MME
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(MME_FIXTURE)
+    base_lr, cons_lr, wd, momentum, lmda = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.MME.LMDA = float(lmda)
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.SGD_NESTEROV = False
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = MME_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = float(cons_lr)
+    cfg.SEED = 1
+
+    trainer = MME.__new__(MME)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    sF = trainer._models["F"]
+    assert _transplant(sF["params"], data, "init/F/params") == 12
+    assert _transplant(sF["batch_stats"], data, "init/F/batch_stats") == 2
+    sF["opt_state"] = trainer.tx.init(sF["params"])
+    sC = trainer._models["C"]
+    assert _transplant(sC["params"], data, "init/C/params") == 1
+    sC["opt_state"] = trainer.tx_c.init(sC["params"])
+
+    imgs_x = np.asarray(data["imgs_x"], np.float32)
+    imgs_u = np.asarray(data["imgs_u"], np.float32)
+    labels_x = data["labels_x"]
+
+    losses_x, losses_u = [], []
+    step = 0
+    trainer.num_batches = MME_BATCHES
+    for epoch in range(MME_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(MME_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            out = trainer.forward_backward_xu(
+                {"img": imgs_x[i], "label": labels_x[i].astype(np.int64)},
+                {"img": imgs_u[i],
+                 "label": np.zeros(imgs_u.shape[1], np.int64)},
+            )
+            losses_x.append(out["loss_x"])
+            losses_u.append(out["loss_u"])
+            step += 1
+
+    # loss_u is NEGATIVE entropy: sign and the GRL boundary are part of
+    # the pin (a GRL placed after the normalize flips step 2+ visibly)
+    np.testing.assert_allclose(losses_x, data["loss_x"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_u, data["loss_u"], rtol=2e-4, atol=2e-5)
+    assert all(lu < 0 for lu in losses_u)
+
+    final_F = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["params"]
+    )
+    _assert_tree_close(final_F, data, "final/F/params", atol=1e-4)
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["batch_stats"]
+    )
+    _assert_tree_close(final_bs, data, "final/F/batch_stats", atol=1e-4)
+    final_C = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["C"]["params"]
+    )
+    _assert_tree_close(final_C, data, "final/C/params", atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dassl M3SDA (tools/gen_trajectory_golden_m3sda.py): multi-source moment
+# matching — per-DOMAIN train-mode F forwards (separate BN statistics per
+# source sub-batch), per-domain pair-classifier CE + pairwise first/second
+# moment distance to the target, then the MCD-style B/C phases; per-model
+# SGD(momentum) + a WARMUP-FREE cosine schedule
+# (dassl/engine/da/m3sda.py:74-151)
+# ---------------------------------------------------------------------------
+
+M3SDA_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_m3sda_golden.npz"
+)
+M3SDA_EPOCHS, M3SDA_BATCHES = 3, 2
+
+
+def test_m3sda_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.da import M3SDA
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(M3SDA_FIXTURE)
+    base_lr, wd, momentum, n_step_f, lmda = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.DATALOADER.TRAIN_X.N_DOMAIN = 2
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+    cfg.TRAINER.M3SDA.N_STEP_F = int(n_step_f)
+    cfg.TRAINER.M3SDA.LMDA = float(lmda)
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.SGD_NESTEROV = False
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = M3SDA_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 0  # warmup-free composition is part of the pin
+    cfg.SEED = 1
+
+    trainer = M3SDA.__new__(M3SDA)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+        num_source_domains = 2
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    sF = trainer._models["F"]
+    assert _transplant(sF["params"], data, "init/F/params") == 12
+    assert _transplant(sF["batch_stats"], data, "init/F/batch_stats") == 2
+    sF["opt_state"] = trainer.tx.init(sF["params"])
+    sC = trainer._models["C"]
+    assert _transplant(sC["params"], data, "init/C/params") == 4
+    sC["opt_state"] = trainer.tx_c.init(sC["params"])
+
+    imgs_x = np.asarray(data["imgs_x"], np.float32)
+    imgs_u = np.asarray(data["imgs_u"], np.float32)
+    labels_x = data["labels_x"]
+    domains_x = data["domains_x"]
+
+    losses_a, losses_b, losses_c = [], [], []
+    step = 0
+    trainer.num_batches = M3SDA_BATCHES
+    for epoch in range(M3SDA_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(M3SDA_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            out = trainer.forward_backward_xu(
+                {
+                    "img": imgs_x[i],
+                    "label": labels_x[i].astype(np.int64),
+                    "domain": domains_x[i].astype(np.int64),
+                },
+                {"img": imgs_u[i],
+                 "label": np.zeros(imgs_u.shape[1], np.int64)},
+            )
+            losses_a.append(out["loss_step_A"])
+            losses_b.append(out["loss_step_B"])
+            losses_c.append(out["loss_step_C"])
+            step += 1
+
+    # any drift in the per-domain BN separation, the moment-distance
+    # normalization (1/count pairwise, unbiased var), or the A/B/C
+    # optimizer gating moves step 2+ at the percent level
+    np.testing.assert_allclose(losses_a, data["loss_step_A"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_b, data["loss_step_B"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_c, data["loss_step_C"], rtol=5e-4, atol=2e-5)
+
+    final_F = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["params"]
+    )
+    _assert_tree_close(final_F, data, "final/F/params", atol=1e-4)
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["batch_stats"]
+    )
+    # the (2+3+N_STEP_F) train-mode F forwards per step are part of the pin
+    _assert_tree_close(final_bs, data, "final/F/batch_stats", atol=1e-4)
+    final_C = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["C"]["params"]
+    )
+    _assert_tree_close(final_C, data, "final/C/params", atol=1e-4)
