@@ -1255,3 +1255,131 @@ def test_m3sda_trajectory_matches_reference_trainer():
         lambda x: np.array(x), trainer._models["C"]["params"]
     )
     _assert_tree_close(final_C, data, "final/C/params", atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dassl DAEL (tools/gen_trajectory_golden_dael.py): the most composite DA
+# update — no-grad most-confident-expert pseudo-labels with confidence
+# mask (F's BN advancing first), the reference forward order (weak source
+# views per domain, strong source views, strong target view), per-domain
+# expert CE + cross-expert consistency regularization against the detached
+# own-expert label + masked pseudo-label CE, ONE backward through F and
+# the expert bank; SGD(momentum) + linear-warmup->cosine
+# (dassl/engine/da/dael.py:89-181)
+# ---------------------------------------------------------------------------
+
+DAEL_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_dael_golden.npz"
+)
+DAEL_EPOCHS, DAEL_BATCHES = 3, 2
+
+
+def test_dael_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.da import DAEL
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(DAEL_FIXTURE)
+    base_lr, min_lr, wd, momentum, weight_u, conf_thre = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.DATALOADER.TRAIN_X.N_DOMAIN = 2
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+    cfg.TRAINER.DAEL.WEIGHT_U = float(weight_u)
+    cfg.TRAINER.DAEL.CONF_THRE = float(conf_thre)
+    cfg.TRAINER.DAEL.STRONG_TRANSFORMS = ["random_flip"]
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.SGD_NESTEROV = False
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = DAEL_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "linear"
+    cfg.OPTIM.WARMUP_MIN_LR = float(min_lr)
+    cfg.SEED = 1
+
+    trainer = DAEL.__new__(DAEL)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+        num_source_domains = 2
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    sF = trainer._models["F"]
+    assert _transplant(sF["params"], data, "init/F/params") == 12
+    assert _transplant(sF["batch_stats"], data, "init/F/batch_stats") == 2
+    sF["opt_state"] = trainer.tx.init(sF["params"])
+    sE = trainer._models["E"]
+    assert _transplant(sE["params"], data, "init/E/params") == 2
+    sE["opt_state"] = trainer.tx_e.init(sE["params"])
+
+    imgs = {k: np.asarray(data[k], np.float32)
+            for k in ("imgs_x", "imgs_x2", "imgs_u", "imgs_u2")}
+    labels_x = data["labels_x"]
+    domains_x = data["domains_x"]
+
+    losses_x, losses_cr, losses_u = [], [], []
+    step = 0
+    trainer.num_batches = DAEL_BATCHES
+    for epoch in range(DAEL_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(DAEL_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            out = trainer.forward_backward_xu(
+                {
+                    "img": imgs["imgs_x"][i],
+                    "img2": imgs["imgs_x2"][i],
+                    "label": labels_x[i].astype(np.int64),
+                    "domain": domains_x[i].astype(np.int64),
+                },
+                {
+                    "img": imgs["imgs_u"][i],
+                    "img2": imgs["imgs_u2"][i],
+                    "label": np.zeros(8, np.int64),
+                },
+            )
+            losses_x.append(out["loss_x"])
+            losses_cr.append(out["loss_cr"])
+            losses_u.append(out["loss_u"])
+            step += 1
+
+    # a drift in the pseudo-label argmax chain, the mask threshold, the
+    # cross-expert CR pairing, or the forward order moves step 1+ visibly
+    np.testing.assert_allclose(losses_x, data["loss_x"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_cr, data["loss_cr"], rtol=5e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_u, data["loss_u"], rtol=5e-4, atol=2e-5)
+
+    final_F = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["params"]
+    )
+    _assert_tree_close(final_F, data, "final/F/params", atol=1e-4)
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["batch_stats"]
+    )
+    # the 1+2+2+1 train-mode F forwards per step are part of the pin
+    _assert_tree_close(final_bs, data, "final/F/batch_stats", atol=1e-4)
+    final_E = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["E"]["params"]
+    )
+    _assert_tree_close(final_E, data, "final/E/params", atol=1e-4)
