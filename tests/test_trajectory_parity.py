@@ -1,9 +1,22 @@
 """Joint N-step training-trajectory parity vs the REFERENCE trainers.
 
-Four fixtures, four trainers: MM_CLS_OP (this docstring's recipe), CoOp
-stage-2 (both loss regimes), FixMatch (SSL scheduling + BN ordering),
-DANN (adversarial two-optimizer scheduling + GRL ramp) — see the
-per-section comments below and tools/gen_trajectory_golden*.py.
+Eleven pins, ten trainers: MM_CLS_OP (this docstring's recipe), CoOp
+stage-2 (both loss regimes), FixMatch, DANN, MCD, MeanTeacher (on the
+fixed rmsprop), DDAIG, CrossGrad (on the fixed amsgrad), MME, M3SDA,
+DAEL — every engine family (flagship, SSL, DA, DG) and every reference
+optimizer that a trainer can select (adam, amsgrad, sgd, sgd+nesterov,
+rmsprop; radam/custom_adam are pinned per-op in test_optim_extra.py),
+across warmup types (constant, linear, none) x schedulers (cosine,
+single_step). See the per-section comments below and
+tools/gen_trajectory_golden*.py.
+
+Methodology note on tolerances: several compositions are measurably
+CHAOTIC in fp32 (rmsprop sign-normalization, moment-distance sqrt,
+adversarial coupling) — each generator's lr was chosen by perturbing the
+reference's OWN inputs by 1e-6 and requiring its self-sensitivity to
+stay ~1e-5; where a residual gauge freedom remains (head-BN rescaling
+directions under rmsprop), the final state is pinned as probe-batch
+LOGITS (gauge-invariant) instead of raw params.
 
 The fixture (tools/gen_trajectory_golden.py) ran the actual reference
 ``MM_CLS_OP.forward_backward`` (``trainers/mm_classifier_one_prompt.py:421-452``)
@@ -1383,3 +1396,140 @@ def test_dael_trajectory_matches_reference_trainer():
         lambda x: np.array(x), trainer._models["E"]["params"]
     )
     _assert_tree_close(final_E, data, "final/E/params", atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dassl CDAC (tools/gen_trajectory_golden_cdac.py): adaptive-clustering
+# scheduling with the one-of-a-kind lr regime — per-ITERATION LambdaLR
+# annealing (1 + 10*iter/max_iter)^-0.75 stepped inside forward_backward,
+# classifier base lr premultiplied by CLASS_LR_MULTI; two backward rounds
+# per step, top-k feature-index similarity, p_thresh mask, per-iteration
+# sigmoid rampup on the consistency term
+# (dassl/engine/da/cdac.py:100-138, 152-224)
+# ---------------------------------------------------------------------------
+
+CDAC_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_cdac_golden.npz"
+)
+CDAC_EPOCHS, CDAC_BATCHES = 3, 2
+
+
+def _interleave(v0, v1):
+    """[B,...] x2 -> adjacent-variant layout [B*2,...] (item0_v0, item0_v1,
+    item1_v0, ...) as HostDataLoader emits for K_TRANSFORMS=2."""
+    return np.stack([v0, v1], axis=1).reshape((-1,) + v0.shape[1:])
+
+
+def test_cdac_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.da import CDAC
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(CDAC_FIXTURE)
+    (base_lr, wd, momentum, rampup_coef, rampup_itrs,
+     lr_multi, topk, p_thresh) = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.DATALOADER.K_TRANSFORMS = 2
+    cfg.TRAINER.CDAC.RAMPUP_COEF = float(rampup_coef)
+    cfg.TRAINER.CDAC.RAMPUP_ITRS = int(rampup_itrs)
+    cfg.TRAINER.CDAC.CLASS_LR_MULTI = float(lr_multi)
+    cfg.TRAINER.CDAC.TOPK_MATCH = int(topk)
+    cfg.TRAINER.CDAC.P_THRESH = float(p_thresh)
+    cfg.TRAINER.CDAC.STRONG_TRANSFORMS = ["random_flip"]
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.SGD_NESTEROV = False
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = CDAC_EPOCHS
+    cfg.SEED = 1
+
+    trainer = CDAC.__new__(CDAC)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+    trainer.max_epoch = CDAC_EPOCHS
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    sF = trainer._models["F"]
+    assert _transplant(sF["params"], data, "init/F/params") == 12
+    assert _transplant(sF["batch_stats"], data, "init/F/batch_stats") == 2
+    sF["opt_state"] = trainer.tx.init(sF["params"])
+    sC = trainer._models["C"]
+    assert _transplant(sC["params"], data, "init/C/params") == 1
+    sC["opt_state"] = trainer.tx_c.init(sC["params"])
+
+    imgs = {k: np.asarray(data[k], np.float32)
+            for k in ("imgs_x", "imgs_u", "imgs_us", "imgs_us2")}
+    labels_x = data["labels_x"]
+    labels_u = data["labels_u"]
+
+    losses_x, aacs, pls, conss, keeps = [], [], [], [], []
+    step = 0
+    trainer.num_batches = CDAC_BATCHES
+    for epoch in range(CDAC_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()  # CDAC override: a no-op (per-iteration lr)
+        for b in range(CDAC_BATCHES):
+            trainer.batch_idx = b
+            i = step % 2
+            batch_x = {
+                "img": _interleave(imgs["imgs_x"][i], imgs["imgs_x"][i]),
+                "label": np.repeat(labels_x[i].astype(np.int64), 2),
+            }
+            batch_u = {
+                "img": _interleave(imgs["imgs_u"][i], imgs["imgs_u"][i]),
+                "img2": _interleave(imgs["imgs_us"][i], imgs["imgs_us2"][i]),
+                "label": np.repeat(labels_u[i].astype(np.int64), 2),
+            }
+            out = trainer.forward_backward_xu(batch_x, batch_u)
+            # the lr actually INSTALLED for this step must equal torch's
+            # per-iteration LambdaLR value, for BOTH param groups
+            assert float(
+                trainer._models["F"]["opt_state"].hyperparams["lr"]
+            ) == pytest.approx(data["lrs_f"][step], rel=1e-6)
+            assert float(
+                trainer._models["C"]["opt_state"].hyperparams["lr"]
+            ) == pytest.approx(data["lrs_c"][step], rel=1e-6)
+            losses_x.append(out["loss_x"])
+            aacs.append(out["aac_loss"])
+            pls.append(out["pl_loss"])
+            conss.append(out["cons_loss"])
+            keeps.append(out["p_u_pred_keep"])
+            step += 1
+
+    np.testing.assert_allclose(losses_x, data["loss_x"], rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(aacs, data["aac_loss"], rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(pls, data["pl_loss"], rtol=1e-3, atol=5e-5)
+    np.testing.assert_allclose(conss, data["cons_loss"], rtol=1e-3, atol=5e-5)
+    # the confidence mask trajectory (0.125 -> 1.0) is EXACT: a threshold
+    # or argmax drift flips a row
+    np.testing.assert_allclose(keeps, data["keep"], atol=1e-6)
+
+    final_F = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["params"]
+    )
+    _assert_tree_close(final_F, data, "final/F/params", atol=2e-4)
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["batch_stats"]
+    )
+    _assert_tree_close(final_bs, data, "final/F/batch_stats", atol=2e-4)
+    final_C = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["C"]["params"]
+    )
+    _assert_tree_close(final_C, data, "final/C/params", atol=2e-4)
