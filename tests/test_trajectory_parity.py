@@ -1,9 +1,9 @@
 """Joint N-step training-trajectory parity vs the REFERENCE trainers.
 
-Eleven pins, ten trainers: MM_CLS_OP (this docstring's recipe), CoOp
-stage-2 (both loss regimes), FixMatch, DANN, MCD, MeanTeacher (on the
-fixed rmsprop), DDAIG, CrossGrad (on the fixed amsgrad), MME, M3SDA,
-DAEL — every engine family (flagship, SSL, DA, DG) and every reference
+Thirteen pins, twelve trainers: MM_CLS_OP (this docstring's recipe),
+CoOp stage-2 (both loss regimes), FixMatch, DANN, MCD, MeanTeacher (on
+the fixed rmsprop), DDAIG, CrossGrad (on the fixed amsgrad), MME, M3SDA,
+DAEL, CDAC — every engine family (flagship, SSL, DA, DG) and every reference
 optimizer that a trainer can select (adam, amsgrad, sgd, sgd+nesterov,
 rmsprop; radam/custom_adam are pinned per-op in test_optim_extra.py),
 across warmup types (constant, linear, none) x schedulers (cosine,
