@@ -1,9 +1,9 @@
 """Joint N-step training-trajectory parity vs the REFERENCE trainers.
 
-Thirteen pins, twelve trainers: MM_CLS_OP (this docstring's recipe),
+Fifteen pins, fourteen trainers: MM_CLS_OP (this docstring's recipe),
 CoOp stage-2 (both loss regimes), FixMatch, DANN, MCD, MeanTeacher (on
 the fixed rmsprop), DDAIG, CrossGrad (on the fixed amsgrad), MME, M3SDA,
-DAEL, CDAC — every engine family (flagship, SSL, DA, DG) and every reference
+DAEL, CDAC, SE, ADDA — every engine family (flagship, SSL, DA, DG) and every reference
 optimizer that a trainer can select (adam, amsgrad, sgd, sgd+nesterov,
 rmsprop; radam/custom_adam are pinned per-op in test_optim_extra.py),
 across warmup types (constant, linear, none) x schedulers (cosine,
@@ -14,9 +14,11 @@ Methodology note on tolerances: several compositions are measurably
 CHAOTIC in fp32 (rmsprop sign-normalization, moment-distance sqrt,
 adversarial coupling) — each generator's lr was chosen by perturbing the
 reference's OWN inputs by 1e-6 and requiring its self-sensitivity to
-stay ~1e-5; where a residual gauge freedom remains (head-BN rescaling
-directions under rmsprop), the final state is pinned as probe-batch
-LOGITS (gauge-invariant) instead of raw params.
+stay ~1e-5. Final states are read FRESH through trainer.state /
+trainer._models (the jitted steps REBIND those entries; a pre-training
+local alias would silently compare the init state) and pinned as raw
+params plus, for the EMA trainers, probe-batch logits (the
+gauge-invariant function).
 
 The fixture (tools/gen_trajectory_golden.py) ran the actual reference
 ``MM_CLS_OP.forward_backward`` (``trainers/mm_classifier_one_prompt.py:421-452``)
@@ -761,15 +763,12 @@ def test_mean_teacher_trajectory_matches_reference_trainer():
     assert losses_u[0] == 0.0 and losses_u[1] == 0.0
     assert losses_u[3] > 1e-3  # the consistency term really engages
 
-    # Final state: rmsprop normalizes gradient magnitudes away, so along
-    # the head-BN gauge directions (conv/fc0 rescalings bn0 absorbs —
-    # loss-INVARIANT, hence noise-sign-driven) raw params drift with the
-    # XLA reduction order (the 8-virtual-device harness threads sums
-    # differently than a single-device run). The function is the
-    # gauge-invariant object: pin probe-batch logits of our final
-    # student/teacher against the SAME nets rebuilt from the reference's
-    # dumped final params, and keep only a coarse sanity band on raw
-    # params (catches transplant/dump-path mistakes).
+    # Final state: read FRESH through trainer.state/.teacher — the jitted
+    # step REBINDS self._models entries, so a pre-training local alias
+    # would silently compare the init state. Pin raw params (rmsprop
+    # sign-normalization leaves a few tiny-gradient leaves at the ~1e-3
+    # level; everything else is ~1e-5) AND probe-batch logits (the
+    # gauge-invariant function — BN absorbs upstream rescalings).
     def probe_logits(params, batch_stats):
         return np.asarray(
             trainer.net.apply(
@@ -795,7 +794,13 @@ def test_mean_teacher_trajectory_matches_reference_trainer():
             rtol=2e-3, atol=2e-3, err_msg=f"final {tag} function",
         )
         final = jax.tree_util.tree_map(lambda x: np.array(x), ours["params"])
-        _assert_tree_close(final, data, f"final/{tag}/params", atol=5e-2)
+        _assert_tree_close(final, data, f"final/{tag}/params", atol=2e-3)
+        final_bs = jax.tree_util.tree_map(
+            lambda x: np.array(x), ours["batch_stats"]
+        )
+        _assert_tree_close(
+            final_bs, data, f"final/{tag}/batch_stats", atol=1e-3
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -1533,3 +1538,280 @@ def test_cdac_trajectory_matches_reference_trainer():
         lambda x: np.array(x), trainer._models["C"]["params"]
     )
     _assert_tree_close(final_C, data, "final/C/params", atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dassl SE (tools/gen_trajectory_golden_se.py): self-ensembling with
+# K_TRANSFORMS=2 view pairs — student on view 1, train-mode EMA teacher on
+# view 2, the CONF_THRE mask branch on the summed squared error, one
+# backward, then the min(1-1/(g+1), alpha) parameter EMA with the cap
+# crossover inside the run (dassl/engine/da/se.py:30-65)
+# ---------------------------------------------------------------------------
+
+SE_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_se_golden.npz"
+)
+SE_EPOCHS, SE_BATCHES = 3, 2
+
+
+def test_se_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.da import SE
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(SE_FIXTURE)
+    (base_lr, min_lr, wd, momentum, ema_alpha, conf_thre,
+     rampup) = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.DATALOADER.K_TRANSFORMS = 2
+    cfg.TRAINER.SE.EMA_ALPHA = float(ema_alpha)
+    cfg.TRAINER.SE.CONF_THRE = float(conf_thre)
+    cfg.TRAINER.SE.RAMPUP = int(rampup)
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.SGD_NESTEROV = False
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = SE_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "linear"
+    cfg.OPTIM.WARMUP_MIN_LR = float(min_lr)
+    cfg.SEED = 1
+
+    trainer = SE.__new__(SE)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    state = trainer.state
+    assert _transplant(state["params"], data, "init/s/params") == 14
+    assert _transplant(state["batch_stats"], data, "init/s/batch_stats") == 2
+    state["opt_state"] = trainer.tx.init(state["params"])
+    trainer.teacher = {
+        "params": jax.tree_util.tree_map(jnp.asarray, state["params"]),
+        "batch_stats": jax.tree_util.tree_map(
+            jnp.asarray, state["batch_stats"]
+        ),
+    }
+
+    imgs_x = np.asarray(data["imgs_x"], np.float32)
+    imgs_u1 = np.asarray(data["imgs_u1"], np.float32)
+    imgs_u2 = np.asarray(data["imgs_u2"], np.float32)
+    labels_x = data["labels_x"]
+
+    losses_x, losses_u = [], []
+    step = 0
+    trainer.num_batches = SE_BATCHES
+    for epoch in range(SE_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(SE_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            out = trainer.forward_backward_xu(
+                {
+                    "img": _interleave(imgs_x[i], imgs_x[i]),
+                    "label": np.repeat(labels_x[i].astype(np.int64), 2),
+                },
+                {
+                    "img": _interleave(imgs_u1[i], imgs_u2[i]),
+                    "label": np.zeros(16, np.int64),
+                },
+            )
+            losses_x.append(out["loss_x"])
+            losses_u.append(out["loss_u"])
+            step += 1
+
+    np.testing.assert_allclose(losses_x, data["loss_x"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_u, data["loss_u"], rtol=1e-3, atol=2e-5)
+    assert all(lu > 1e-6 for lu in losses_u)  # the masked term really fires
+
+    # Final state: read FRESH through trainer.state/.teacher (the jitted
+    # step rebinds self._models entries). Probe-batch logits pin the
+    # function; raw params pin the SGD trajectory tightly.
+    def probe_logits(params, batch_stats):
+        return np.asarray(
+            trainer.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                jnp.asarray(imgs_x[0]).transpose(0, 2, 3, 1),
+                train=False,
+            )
+        )
+
+    for tag, ours in (("s", trainer.state), ("t", trainer.teacher)):
+        ref_p = jax.tree_util.tree_map(lambda x: np.array(x), ours["params"])
+        ref_bs = jax.tree_util.tree_map(
+            lambda x: np.array(x), ours["batch_stats"]
+        )
+        assert _transplant(ref_p, data, f"final/{tag}/params") == 14
+        assert _transplant(ref_bs, data, f"final/{tag}/batch_stats") == 2
+        np.testing.assert_allclose(
+            probe_logits(ours["params"], ours["batch_stats"]),
+            probe_logits(ref_p, ref_bs),
+            rtol=2e-3, atol=2e-3, err_msg=f"final {tag} function",
+        )
+        final = jax.tree_util.tree_map(lambda x: np.array(x), ours["params"])
+        _assert_tree_close(final, data, f"final/{tag}/params", atol=2e-4)
+        final_bs = jax.tree_util.tree_map(
+            lambda x: np.array(x), ours["batch_stats"]
+        )
+        _assert_tree_close(
+            final_bs, data, f"final/{tag}/batch_stats", atol=2e-4
+        )
+
+
+# ---------------------------------------------------------------------------
+# Dassl ADDA (tools/gen_trajectory_golden_adda.py): adversarial
+# discriminative DA — EVAL-mode frozen source model (running-stat BN) on
+# the labeled batch, train-mode target model on the unlabeled batch,
+# critic BCE(source->1, detached target->0), target model fooling the
+# UPDATED critic, classifier frozen via open_specified_layers (no decay
+# reaches it); adam x2 + constant-warmup->cosine
+# (dassl/engine/da/adda.py:57-85)
+# ---------------------------------------------------------------------------
+
+ADDA_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_adda_golden.npz"
+)
+ADDA_EPOCHS, ADDA_BATCHES = 3, 2
+
+
+def test_adda_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.da import ADDA
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(ADDA_FIXTURE)
+    base_lr, cons_lr, wd = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.OPTIM.NAME = "adam"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = ADDA_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = float(cons_lr)
+    cfg.SEED = 1
+
+    trainer = ADDA.__new__(ADDA)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    state = trainer.state
+    assert _transplant(state["params"], data, "init/m/params") == 14
+    assert _transplant(state["batch_stats"], data, "init/m/batch_stats") == 2
+    state["opt_state"] = trainer.tx.init(state["params"])
+    # the frozen source model is the init-time copy; the jitted step
+    # closes over trainer.source_state, so mutate the SAME dict in place
+    trainer.source_state["params"] = jax.tree_util.tree_map(
+        jnp.asarray, state["params"]
+    )
+    trainer.source_state["batch_stats"] = jax.tree_util.tree_map(
+        jnp.asarray, state["batch_stats"]
+    )
+    cstate = trainer._models["critic"]
+    assert _transplant(cstate["params"], data, "init/c/params") == 10
+    assert _transplant(cstate["batch_stats"], data, "init/c/batch_stats") == 4
+    cstate["opt_state"] = trainer.tx_c.init(cstate["params"])
+
+    imgs_x = np.asarray(data["imgs_x"], np.float32)
+    imgs_u = np.asarray(data["imgs_u"], np.float32)
+
+    losses_c, losses_m = [], []
+    step = 0
+    trainer.num_batches = ADDA_BATCHES
+    for epoch in range(ADDA_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(ADDA_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            out = trainer.forward_backward_xu(
+                {"img": imgs_x[i],
+                 "label": data["labels_x"][i].astype(np.int64)},
+                {"img": imgs_u[i], "label": np.zeros(8, np.int64)},
+            )
+            losses_c.append(out["loss_critic"])
+            losses_m.append(out["loss_model"])
+            step += 1
+
+    np.testing.assert_allclose(
+        losses_c, data["loss_critic"], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        losses_m, data["loss_model"], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        losses_c[:3], data["loss_critic"][:3], rtol=1e-5, atol=1e-5
+    )
+
+    # Final state: read FRESH (the jitted step rebinds self._models
+    # entries — a pre-training alias would compare the init state).
+    fstate = trainer.state
+    fcstate = trainer._models["critic"]
+
+    # the classifier must be EXACTLY frozen (open_specified_layers: no
+    # gradient, no decay)
+    np.testing.assert_array_equal(
+        np.asarray(fstate["params"]["classifier"]["kernel"]),
+        data["init/m/params/classifier/kernel"],
+    )
+
+    final_m = jax.tree_util.tree_map(lambda x: np.array(x), fstate["params"])
+    # adam sign-normalizes the tiny adversarial conv gradients, so a few
+    # leaves sit at the ~5e-4 level; the BN running stats (the EVAL-mode
+    # source / train-mode target distinction) pin much tighter
+    _assert_tree_close(final_m, data, "final/m/params", atol=2e-3)
+    final_mbs = jax.tree_util.tree_map(
+        lambda x: np.array(x), fstate["batch_stats"]
+    )
+    _assert_tree_close(final_mbs, data, "final/m/batch_stats", atol=1e-3)
+    final_c = jax.tree_util.tree_map(
+        lambda x: np.array(x), fcstate["params"]
+    )
+    _assert_tree_close(final_c, data, "final/c/params", atol=2e-3)
+    final_cbs = jax.tree_util.tree_map(
+        lambda x: np.array(x), fcstate["batch_stats"]
+    )
+    _assert_tree_close(final_cbs, data, "final/c/batch_stats", atol=1e-3)
