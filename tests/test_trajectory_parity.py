@@ -1,10 +1,11 @@
 """Joint N-step training-trajectory parity vs the REFERENCE trainers.
 
-Fifteen pins, fourteen trainers: MM_CLS_OP (this docstring's recipe),
+Eighteen pins, seventeen trainers: MM_CLS_OP (this docstring's recipe),
 CoOp stage-2 (both loss regimes), FixMatch, DANN, MCD, MeanTeacher (on
 the fixed rmsprop), DDAIG, CrossGrad (on the fixed amsgrad), MME, M3SDA,
-DAEL, CDAC, SE, ADDA — every engine family (flagship, SSL, DA, DG) and every reference
-optimizer that a trainer can select (adam, amsgrad, sgd, sgd+nesterov,
+DAEL, CDAC, SE, ADDA, EntMin (on adamw's decoupled decay), AdaBN,
+DAELDG — every engine family (flagship, SSL, DA, DG) and EVERY reference
+optimizer a trainer can select (adam, amsgrad, adamw, sgd, sgd+nesterov,
 rmsprop; radam/custom_adam are pinned per-op in test_optim_extra.py),
 across warmup types (constant, linear, none) x schedulers (cosine,
 single_step). See the per-section comments below and
@@ -1815,3 +1816,290 @@ def test_adda_trajectory_matches_reference_trainer():
         lambda x: np.array(x), fcstate["batch_stats"]
     )
     _assert_tree_close(final_cbs, data, "final/c/batch_stats", atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Dassl EntMin on AdamW (tools/gen_trajectory_golden_misc.py): CE +
+# lmda-weighted unlabeled entropy through ONE backward, on torch AdamW —
+# the only end-to-end witness for the DECOUPLED weight-decay composition
+# (dassl/engine/ssl/entmin.py:19-41, optimizer.py:105-112)
+# ---------------------------------------------------------------------------
+
+ENTMIN_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_entmin_golden.npz"
+)
+
+
+def test_entmin_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.ssl import EntMin
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(ENTMIN_FIXTURE)
+    base_lr, min_lr, wd, lmda = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.ENTMIN.LMDA = float(lmda)
+    cfg.OPTIM.NAME = "adamw"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = 3
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "linear"
+    cfg.OPTIM.WARMUP_MIN_LR = float(min_lr)
+    cfg.SEED = 1
+
+    trainer = EntMin.__new__(EntMin)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    state = trainer.state
+    assert _transplant(state["params"], data, "init/params") == 14
+    assert _transplant(state["batch_stats"], data, "init/batch_stats") == 2
+    state["opt_state"] = trainer.tx.init(state["params"])
+
+    imgs_x = np.asarray(data["imgs_x"], np.float32)
+    imgs_u = np.asarray(data["imgs_u"], np.float32)
+    labels_x = data["labels_x"]
+
+    losses_x, losses_u = [], []
+    step = 0
+    trainer.num_batches = 2
+    for epoch in range(3):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(2):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            out = trainer.forward_backward_xu(
+                {"img": imgs_x[i], "label": labels_x[i].astype(np.int64)},
+                {"img": imgs_u[i],
+                 "label": np.zeros(imgs_u.shape[1], np.int64)},
+            )
+            losses_x.append(out["loss_x"])
+            losses_u.append(out["loss_u"])
+            step += 1
+
+    np.testing.assert_allclose(losses_x, data["loss_x"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_u, data["loss_u"], rtol=2e-4, atol=2e-5)
+
+    fstate = trainer.state  # the jitted step rebinds self._models entries
+    final = jax.tree_util.tree_map(lambda x: np.array(x), fstate["params"])
+    # the WD=5e-2 decoupled decay moves params by ~lr*wd*|p| per step —
+    # a coupled-decay drift would shear every leaf visibly
+    _assert_tree_close(final, data, "final/params", atol=2e-3)
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), fstate["batch_stats"]
+    )
+    _assert_tree_close(final_bs, data, "final/batch_stats", atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Dassl AdaBN (tools/gen_trajectory_golden_misc.py): BN-statistics-only
+# adaptation — reset_running_stats on the FIRST before_epoch only, then
+# no-grad train-mode target forwards re-estimating the statistics; params
+# bit-frozen (dassl/engine/da/adabn.py:23-38)
+# ---------------------------------------------------------------------------
+
+ADABN_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_adabn_golden.npz"
+)
+
+
+def test_adabn_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.da import AdaBN
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = 1e-3
+    cfg.OPTIM.MAX_EPOCH = 3
+    cfg.SEED = 1
+
+    data = np.load(ADABN_FIXTURE)
+    trainer = AdaBN.__new__(AdaBN)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    state = trainer.state
+    # init fixture stats are WARMED (pre-reset): the reset must discard them
+    assert _transplant(state["params"], data, "init/params") == 14
+    assert _transplant(state["batch_stats"], data, "init/batch_stats") == 2
+    assert float(np.abs(np.asarray(
+        state["batch_stats"]["head"]["bn0"]["mean"]
+    )).max()) > 0.01  # really warmed
+
+    imgs_u = np.asarray(data["imgs_u"], np.float32)
+    step = 0
+    trainer.num_batches = 2
+    for epoch in range(3):
+        trainer.epoch = epoch
+        trainer.before_epoch()  # resets stats ONCE (first epoch only)
+        for b in range(2):
+            trainer.batch_idx = b
+            i = step % 2
+            trainer.forward_backward_xu(
+                {"img": np.zeros((1, 3, 32, 32), np.float32),
+                 "label": np.zeros(1, np.int64)},
+                {"img": imgs_u[i], "label": np.zeros(8, np.int64)},
+            )
+            step += 1
+
+    fstate = trainer.state
+    # params bit-frozen (no optimizer ever steps)
+    np.testing.assert_array_equal(
+        np.asarray(fstate["params"]["backbone"]["conv1"]["kernel"]),
+        data["init/params/backbone/conv1/kernel"],
+    )
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), fstate["batch_stats"]
+    )
+    # reset-to-(0,1) + six momentum-0.1 blends of the target batches
+    _assert_tree_close(final_bs, data, "final/batch_stats", atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dassl DAELDG (tools/gen_trajectory_golden_misc.py): the DG ensemble —
+# domain-grouped weak/strong views, per-domain expert CE + cross-expert
+# consistency regularization, no unlabeled branch; SGD(momentum) +
+# linear-warmup->cosine (dassl/engine/dg/daeldg.py:90-143)
+# ---------------------------------------------------------------------------
+
+DAELDG_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_daeldg_golden.npz"
+)
+
+
+def test_daeldg_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.dg import DAELDG
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(DAELDG_FIXTURE)
+    base_lr, min_lr, wd, momentum = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.DATALOADER.TRAIN_X.N_DOMAIN = 2
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+    cfg.TRAINER.DAELDG.CONF_THRE = 0.95
+    cfg.TRAINER.DAELDG.STRONG_TRANSFORMS = ["random_flip"]
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.SGD_NESTEROV = False
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = 3
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "linear"
+    cfg.OPTIM.WARMUP_MIN_LR = float(min_lr)
+    cfg.SEED = 1
+
+    trainer = DAELDG.__new__(DAELDG)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+        num_source_domains = 2
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    sF = trainer._models["F"]
+    assert _transplant(sF["params"], data, "init/F/params") == 12
+    assert _transplant(sF["batch_stats"], data, "init/F/batch_stats") == 2
+    sF["opt_state"] = trainer.tx.init(sF["params"])
+    sE = trainer._models["E"]
+    assert _transplant(sE["params"], data, "init/E/params") == 2
+    sE["opt_state"] = trainer.tx_e.init(sE["params"])
+
+    imgs = np.asarray(data["imgs"], np.float32)
+    imgs2 = np.asarray(data["imgs2"], np.float32)
+    labels = data["labels"]
+    domains = data["domains"]
+
+    losses_x, losses_cr = [], []
+    step = 0
+    trainer.num_batches = 2
+    for epoch in range(3):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(2):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            out = trainer.forward_backward({
+                "img": imgs[i],
+                "img2": imgs2[i],
+                "label": labels[i].astype(np.int64),
+                "domain": domains[i].astype(np.int64),
+            })
+            losses_x.append(out["loss_x"])
+            losses_cr.append(out["loss_cr"])
+            step += 1
+
+    np.testing.assert_allclose(losses_x, data["loss_x"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_cr, data["loss_cr"], rtol=5e-4, atol=2e-5)
+
+    final_F = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["params"]
+    )
+    _assert_tree_close(final_F, data, "final/F/params", atol=1e-4)
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["F"]["batch_stats"]
+    )
+    _assert_tree_close(final_bs, data, "final/F/batch_stats", atol=1e-4)
+    final_E = jax.tree_util.tree_map(
+        lambda x: np.array(x), trainer._models["E"]["params"]
+    )
+    _assert_tree_close(final_E, data, "final/E/params", atol=1e-4)
