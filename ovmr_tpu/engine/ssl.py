@@ -184,9 +184,15 @@ class MixMatch(TrainerXU):
         n_cls = self.dm.num_classes
 
         @jax.jit
-        def step(state, img_x, label_x, imgs_u, weight_u, rng):
-            # imgs_u: [K, B, H, W, C] — the K augmented views
-            k_guess, k_shuf, k_mix1, k_mix2, k_net = jax.random.split(rng, 5)
+        def step(state, img_x, label_x, imgs_u, weight_u, perm, lam_x,
+                 lam_u, rng):
+            # imgs_u: [K, B, H, W, C] — the K augmented views. The shuffle
+            # permutation and the per-row mixup coefficients are DRAWN BY
+            # THE CALLER (forward_backward_xu, from the same per-step key
+            # stream as before) so the step is pure given its inputs and
+            # the trajectory-parity test can inject the reference torch
+            # draws.
+            k_guess, _, _, _, k_net = jax.random.split(rng, 5)
             bs0 = state["batch_stats"]
 
             # pseudo-labels: average softmax over the K views, sharpened.
@@ -215,16 +221,15 @@ class MixMatch(TrainerXU):
 
             input_xu = jnp.concatenate([img_x, input_u], 0)
             label_xu = jnp.concatenate([label_x_1h, label_u_rep], 0)
-            perm = jax.random.permutation(k_shuf, input_xu.shape[0])
             input_xu, label_xu = input_xu[perm], label_xu[perm]
 
             mixed_x, mlabel_x = F.mixup(
                 img_x, input_xu[:n_x], label_x_1h, label_xu[:n_x],
-                beta, k_mix1, preserve_order=True,
+                beta, None, preserve_order=True, lam=lam_x,
             )
             mixed_u, mlabel_u = F.mixup(
                 input_u, input_xu[n_x:], label_u_rep, label_xu[n_x:],
-                beta, k_mix2, preserve_order=True,
+                beta, None, preserve_order=True, lam=lam_u,
             )
 
             def loss_fn(params):
@@ -278,9 +283,21 @@ class MixMatch(TrainerXU):
         weight_u = float(self.cfg.TRAINER.MIXMATCH.WEIGHT_U) * F.linear_rampup(
             global_step, int(self.cfg.TRAINER.MIXMATCH.RAMPUP)
         )
+        # draw the shuffle + mixup randomness host-side from the same
+        # per-step key (split indices preserved: guess/shuf/mix1/mix2/net)
+        rng = self.step_rng()
+        _, k_shuf, k_mix1, k_mix2, _ = jax.random.split(rng, 5)
+        beta = float(self.cfg.TRAINER.MIXMATCH.MIXUP_BETA)
+        n_x = int(img_x.shape[0])
+        n_u = int(imgs_u.shape[0] * imgs_u.shape[1])
+        perm = jax.random.permutation(k_shuf, n_x + n_u)
+        lam_x = jax.random.beta(k_mix1, beta, beta, (n_x,))
+        lam_x = jnp.maximum(lam_x, 1.0 - lam_x)
+        lam_u = jax.random.beta(k_mix2, beta, beta, (n_u,))
+        lam_u = jnp.maximum(lam_u, 1.0 - lam_u)
         self.state, metrics = self.train_step(
             self.state, img_x, label_x, imgs_u, jnp.float32(weight_u),
-            self.step_rng(),
+            perm, lam_x, lam_u, rng,
         )
         out = {k_: float(v) for k_, v in metrics.items()}
         out["loss"] = out["loss_x"]

@@ -129,13 +129,20 @@ def ema_update(ema_tree, tree, alpha: float):
     )
 
 
-def mixup(x1, x2, y1, y2, beta: float, rng, preserve_order: bool = False):
+def mixup(x1, x2, y1, y2, beta: float, rng, preserve_order: bool = False,
+          lam=None):
     """Beta-interpolated inputs + one-hot labels. ``x*`` are image batches
-    (any layout, batch-leading), ``y*`` are ``[B, C]`` one-hots."""
+    (any layout, batch-leading), ``y*`` are ``[B, C]`` one-hots. Pass
+    ``lam`` ([B], preserve_order already applied) to use externally drawn
+    coefficients — the trajectory-parity tests inject the reference
+    torch draws through it."""
     b = x1.shape[0]
-    lmda = jax.random.beta(rng, beta, beta, (b,))
-    if preserve_order:
-        lmda = jnp.maximum(lmda, 1.0 - lmda)
+    if lam is None:
+        lmda = jax.random.beta(rng, beta, beta, (b,))
+        if preserve_order:
+            lmda = jnp.maximum(lmda, 1.0 - lmda)
+    else:
+        lmda = lam
     lx = lmda.reshape((b,) + (1,) * (x1.ndim - 1))
     xmix = x1 * lx + x2 * (1.0 - lx)
     ly = lmda.reshape(b, 1)

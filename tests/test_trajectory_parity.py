@@ -2103,3 +2103,121 @@ def test_daeldg_trajectory_matches_reference_trainer():
         lambda x: np.array(x), trainer._models["E"]["params"]
     )
     _assert_tree_close(final_E, data, "final/E/params", atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dassl MixMatch (tools/gen_trajectory_golden_mixmatch.py): K-view
+# pseudo-label guessing with per-view BN advancement, temperature
+# sharpening, joint shuffle + per-row preserve_order Beta mixup, soft-CE +
+# linear_rampup-weighted Brier loss. MixMatch is RNG-coupled, so the
+# reference torch draws (randperm + Beta lambdas) were RECORDED and are
+# injected here through the step's perm/lam_x/lam_u arguments
+# (dassl/engine/ssl/mixmatch.py:28-87)
+# ---------------------------------------------------------------------------
+
+MM_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_mixmatch_golden.npz"
+)
+MM_EPOCHS, MM_BATCHES = 3, 2
+
+
+def test_mixmatch_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.ssl import MixMatch
+    from ovmr_tpu.modeling import ops as F
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(MM_FIXTURE)
+    (base_lr, min_lr, wd, momentum, weight_u, temp, beta, rampup,
+     k) = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.DATALOADER.K_TRANSFORMS = int(k)
+    cfg.TRAINER.MIXMATCH.WEIGHT_U = float(weight_u)
+    cfg.TRAINER.MIXMATCH.TEMP = float(temp)
+    cfg.TRAINER.MIXMATCH.MIXUP_BETA = float(beta)
+    cfg.TRAINER.MIXMATCH.RAMPUP = int(rampup)
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.SGD_NESTEROV = False
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = MM_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "linear"
+    cfg.OPTIM.WARMUP_MIN_LR = float(min_lr)
+    cfg.SEED = 1
+
+    trainer = MixMatch.__new__(MixMatch)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    state = trainer.state
+    assert _transplant(state["params"], data, "init/params") == 14
+    assert _transplant(state["batch_stats"], data, "init/batch_stats") == 2
+    state["opt_state"] = trainer.tx.init(state["params"])
+
+    imgs_x = np.asarray(data["imgs_x"], np.float32)
+    imgs_u = np.asarray(data["imgs_u"], np.float32)  # [2, K, B, 3, H, W]
+    labels_x = data["labels_x"]
+    rng = jax.random.PRNGKey(0)  # dropout is off everywhere in this net
+
+    losses_x, losses_u = [], []
+    step = 0
+    from ovmr_tpu.engine.optimizers import set_lr as _set_lr
+    for epoch in range(MM_EPOCHS):
+        state["opt_state"] = _set_lr(state["opt_state"], trainer.lr_table[epoch])
+        for b in range(MM_BATCHES):
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            # the per-step weight the trainer would compute must equal the
+            # reference's linear_rampup value
+            w = float(weight_u) * F.linear_rampup(
+                b + epoch * MM_BATCHES, int(rampup)
+            )
+            assert w == pytest.approx(data["weight_u"][step], rel=1e-12)
+            state, metrics = trainer.train_step(
+                state,
+                _nhwc(imgs_x[i]),
+                jnp.asarray(labels_x[i].astype(np.int32)),
+                jnp.stack([_nhwc(imgs_u[i, v]) for v in range(int(k))]),
+                jnp.float32(w),
+                jnp.asarray(data["perms"][step].astype(np.int32)),
+                jnp.asarray(data["lams_x"][step], jnp.float32),
+                jnp.asarray(data["lams_u"][step], jnp.float32),
+                rng,
+            )
+            losses_x.append(float(metrics["loss_x"]))
+            losses_u.append(float(metrics["loss_u"]))
+            step += 1
+
+    np.testing.assert_allclose(losses_x, data["loss_x"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(losses_u, data["loss_u"], rtol=1e-3, atol=2e-6)
+
+    final = jax.tree_util.tree_map(lambda x: np.array(x), state["params"])
+    _assert_tree_close(final, data, "final/params", atol=1e-4)
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), state["batch_stats"]
+    )
+    # the K guessing forwards + the two mixed-batch forwards per step are
+    # part of this pin
+    _assert_tree_close(final_bs, data, "final/batch_stats", atol=1e-4)
