@@ -1,14 +1,17 @@
 """Joint N-step training-trajectory parity vs the REFERENCE trainers.
 
-Eighteen pins, seventeen trainers: MM_CLS_OP (this docstring's recipe),
-CoOp stage-2 (both loss regimes), FixMatch, DANN, MCD, MeanTeacher (on
-the fixed rmsprop), DDAIG, CrossGrad (on the fixed amsgrad), MME, M3SDA,
-DAEL, CDAC, SE, ADDA, EntMin (on adamw's decoupled decay), AdaBN,
-DAELDG — every engine family (flagship, SSL, DA, DG) and EVERY reference
-optimizer a trainer can select (adam, amsgrad, adamw, sgd, sgd+nesterov,
-rmsprop; radam/custom_adam are pinned per-op in test_optim_extra.py),
-across warmup types (constant, linear, none) x schedulers (cosine,
-single_step). See the per-section comments below and
+Twenty-one pins, twenty trainers — the COMPLETE runnable roster:
+MM_CLS_OP (this docstring's recipe), CoOp stage-2 (both loss regimes),
+FixMatch, DANN, MCD, MeanTeacher (on the fixed rmsprop), DDAIG,
+CrossGrad (on the fixed amsgrad), MME, M3SDA, DAEL, CDAC, SE, ADDA,
+EntMin (on adamw's decoupled decay), AdaBN, DAELDG, MixMatch and
+DomainMix (reference torch draws recorded + injected), Vanilla/ERM (on
+the vendored radam; SourceOnly/SupBaseline reuse its composition
+verbatim) — every engine family (flagship, SSL, DA, DG) and EVERY
+reference optimizer end-to-end (adam, amsgrad, adamw, sgd, sgd+nesterov,
+rmsprop, radam; custom_adam is flagship-side, pinned per-op in
+test_optim_extra.py), across warmup types (constant, linear, none) x
+schedulers (cosine, single_step, CDAC's per-iteration LambdaLR). See the per-section comments below and
 tools/gen_trajectory_golden*.py.
 
 Methodology note on tolerances: several compositions are measurably
@@ -2221,3 +2224,222 @@ def test_mixmatch_trajectory_matches_reference_trainer():
     # the K guessing forwards + the two mixed-batch forwards per step are
     # part of this pin
     _assert_tree_close(final_bs, data, "final/batch_stats", atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dassl DomainMix (tools/gen_trajectory_golden_domainmix.py): crossdomain
+# mixing — scalar Beta lam, base randperm overwritten per domain with
+# multinomial draws from the OTHER domains, lam-blended double-CE. The
+# reference torch draws are recorded and replayed through OUR _domain_mix
+# via a replay RNG, so the product's data-dependent pairing surgery is
+# what runs (dassl/engine/dg/domain_mix.py:26-83)
+# ---------------------------------------------------------------------------
+
+DM_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_domainmix_golden.npz"
+)
+DM_EPOCHS, DM_BATCHES = 3, 2
+
+
+class _ReplayRng:
+    """np.random.Generator stand-in replaying recorded torch draws."""
+
+    def __init__(self, lam, perm, multinomials):
+        self._lam = float(lam)
+        self._perm = np.asarray(perm)
+        self._mn = list(multinomials)
+        self._mn_i = 0
+
+    def beta(self, a, b):
+        return self._lam
+
+    def permutation(self, n):
+        assert n == len(self._perm)
+        return self._perm.copy()
+
+    def choice(self, n, size, replace):
+        out = self._mn[self._mn_i]
+        self._mn_i += 1
+        assert len(out) == size
+        return np.asarray(out)
+
+
+def test_domainmix_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.dg import DomainMix
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(DM_FIXTURE)
+    base_lr, min_lr, wd, momentum, alpha, beta_p = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.TRAINER.DOMAINMIX.TYPE = "crossdomain"
+    cfg.TRAINER.DOMAINMIX.ALPHA = float(alpha)
+    cfg.TRAINER.DOMAINMIX.BETA = float(beta_p)
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.MOMENTUM = float(momentum)
+    cfg.OPTIM.SGD_NESTEROV = False
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = DM_EPOCHS
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "linear"
+    cfg.OPTIM.WARMUP_MIN_LR = float(min_lr)
+    cfg.SEED = 1
+
+    trainer = DomainMix.__new__(DomainMix)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM_:
+        num_classes = 4
+        num_source_domains = 2
+
+    trainer.dm = _DM_()
+    trainer.build_model()
+
+    state = trainer.state
+    assert _transplant(state["params"], data, "init/params") == 14
+    assert _transplant(state["batch_stats"], data, "init/batch_stats") == 2
+    state["opt_state"] = trainer.tx.init(state["params"])
+
+    imgs = np.asarray(data["imgs"], np.float32)
+    labels = data["labels"]
+    domains = data["domains"]
+
+    losses = []
+    step = 0
+    trainer.num_batches = DM_BATCHES
+    for epoch in range(DM_EPOCHS):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(DM_BATCHES):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            trainer._np_rng = _ReplayRng(
+                data["lams"][step], data["perms"][step],
+                data["multinomials"][step],
+            )
+            out = trainer.forward_backward({
+                "img": imgs[i],
+                "label": labels[i].astype(np.int64),
+                "domain": domains[i].astype(np.int64),
+            })
+            losses.append(out["loss"])
+            step += 1
+
+    np.testing.assert_allclose(losses, data["loss"], rtol=2e-4, atol=2e-5)
+
+    fstate = trainer.state  # the jitted step rebinds self._models entries
+    final = jax.tree_util.tree_map(lambda x: np.array(x), fstate["params"])
+    _assert_tree_close(final, data, "final/params", atol=1e-4)
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), fstate["batch_stats"]
+    )
+    _assert_tree_close(final_bs, data, "final/batch_stats", atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dassl Vanilla/ERM on RAdam (tools/gen_trajectory_golden_misc.py): the
+# shared default supervised composition (reused verbatim by SourceOnly and
+# SupBaseline) on the vendored RAdam — its degenerated-to-SGD warmup steps
+# AND the N_sma>=5 rectified regime both land inside the 6-step run
+# (dassl/engine/dg/vanilla.py:14-28, dassl/optim/radam.py:50-130)
+# ---------------------------------------------------------------------------
+
+VAN_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "trajectory_vanilla_golden.npz"
+)
+
+
+def test_vanilla_trajectory_matches_reference_trainer():
+    from ovmr_tpu.engine.dg import Vanilla
+    from ovmr_tpu.utils.defaults import get_cfg_default as our_cfg
+
+    data = np.load(VAN_FIXTURE)
+    base_lr, cons_lr, wd = data["optim_scalars"]
+
+    cfg = our_cfg()
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    cfg.MODEL.HEAD.NAME = "mlp"
+    cfg.MODEL.HEAD.HIDDEN_LAYERS = [64]
+    cfg.MODEL.HEAD.ACTIVATION = "relu"
+    cfg.MODEL.HEAD.BN = True
+    cfg.MODEL.HEAD.DROPOUT = 0.0
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.OPTIM.NAME = "radam"
+    cfg.OPTIM.LR = float(base_lr)
+    cfg.OPTIM.WEIGHT_DECAY = float(wd)
+    cfg.OPTIM.MAX_EPOCH = 3
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = float(cons_lr)
+    cfg.SEED = 1
+
+    trainer = Vanilla.__new__(Vanilla)
+    trainer._models, trainer._nets, trainer._txs = {}, {}, {}
+    trainer._infer_cache = {}
+    trainer._rng = jax.random.PRNGKey(0)
+    trainer._step_count = 0
+    trainer.mesh = None
+    trainer.cfg = cfg
+
+    class _DM:
+        num_classes = 4
+
+    trainer.dm = _DM()
+    trainer.build_model()
+
+    state = trainer.state
+    assert _transplant(state["params"], data, "init/params") == 14
+    assert _transplant(state["batch_stats"], data, "init/batch_stats") == 2
+    state["opt_state"] = trainer.tx.init(state["params"])
+
+    imgs = np.asarray(data["imgs"], np.float32)
+    labels = data["labels"]
+
+    losses = []
+    step = 0
+    trainer.num_batches = 2
+    for epoch in range(3):
+        trainer.epoch = epoch
+        trainer.before_epoch()
+        for b in range(2):
+            trainer.batch_idx = b
+            assert trainer.lr_table[epoch] == pytest.approx(
+                data["lrs"][step], rel=1e-12
+            )
+            i = step % 2
+            out = trainer.forward_backward(
+                {"img": imgs[i], "label": labels[i].astype(np.int64)}
+            )
+            losses.append(out["loss"])
+            step += 1
+
+    # torch computes the RAdam rectifier scalars in float64; the traced
+    # version is fp32 (see test_optim_extra) — hence the slightly wider
+    # band than the sgd/adam trajectories
+    np.testing.assert_allclose(losses, data["loss"], rtol=5e-4, atol=5e-5)
+
+    fstate = trainer.state  # the jitted step rebinds self._models entries
+    final = jax.tree_util.tree_map(lambda x: np.array(x), fstate["params"])
+    _assert_tree_close(final, data, "final/params", atol=2e-4)
+    final_bs = jax.tree_util.tree_map(
+        lambda x: np.array(x), fstate["batch_stats"]
+    )
+    _assert_tree_close(final_bs, data, "final/batch_stats", atol=2e-4)

@@ -304,7 +304,71 @@ def gen_daeldg():
     print("daeldg loss_cr:", loss_cr_l)
 
 
+# ---------------------------------------------------------------------------
+# Vanilla (ERM) on RAdam
+# ---------------------------------------------------------------------------
+
+def gen_vanilla():
+    """trajectory_vanilla_golden.npz — the real ``dg/vanilla.py`` ERM step
+    on the vendored RAdam (``dassl/optim/radam.py`` — per-op pinned in
+    test_optim_extra, end-to-end only here: the degenerated-to-SGD warmup
+    steps and the N_sma>=5 rectified regime BOTH land inside 6 steps),
+    with constant-warmup->cosine. Also the pin for the shared default
+    supervised composition that SourceOnly/SupBaseline reuse verbatim."""
+    from dassl.engine.dg.vanilla import Vanilla
+
+    LR, WD = 1e-3, 5e-4
+    cfg = base_cfg()
+    cfg.OPTIM.NAME = "radam"
+    cfg.OPTIM.LR = LR
+    cfg.OPTIM.WEIGHT_DECAY = WD
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = 1e-5
+
+    torch.manual_seed(0)
+    trainer = Vanilla.__new__(Vanilla)
+    TrainerBase.__init__(trainer)
+    trainer.cfg = cfg
+    trainer.device = torch.device("cpu")
+    trainer.num_classes = N_CLS
+    SimpleTrainer.build_model(trainer)
+    trainer.set_model_mode("train")
+
+    data = {}
+    dump_simplenet(data, trainer.model, "init")
+    rng = np.random.default_rng(83)
+    imgs = rng.standard_normal((2, BATCH, 3, 32, 32)).astype(np.float16).astype(np.float32)
+    labels = rng.integers(0, N_CLS, (2, BATCH)).astype(np.int64)
+    data.update(
+        imgs=imgs.astype(np.float16), labels=labels.astype(np.int32),
+        optim_scalars=np.asarray([LR, 1e-5, WD], np.float64),
+    )
+    loss_l, lrs = [], []
+    trainer.num_batches = BATCHES_PER_EPOCH
+    step = 0
+    for epoch in range(EPOCHS):
+        trainer.epoch = epoch
+        for b in range(BATCHES_PER_EPOCH):
+            trainer.batch_idx = b
+            i = step % 2
+            lrs.append(trainer.optim.param_groups[0]["lr"])
+            out = trainer.forward_backward(
+                {"img": torch.from_numpy(imgs[i]),
+                 "label": torch.from_numpy(labels[i])}
+            )
+            loss_l.append(out["loss"])
+            step += 1
+    dump_simplenet(data, trainer.model, "final")
+    data.update(
+        loss=np.asarray(loss_l, np.float64),
+        lrs=np.asarray(lrs, np.float64),
+    )
+    np.savez_compressed("tests/fixtures/trajectory_vanilla_golden.npz", **data)
+    print("vanilla loss:", loss_l)
+
+
 gen_entmin()
 gen_adabn()
 gen_daeldg()
+gen_vanilla()
 print("done")
