@@ -112,7 +112,7 @@ class DANN(TrainerXU):
                 g_c, c_state["opt_state"], c_state["params"]
             )
             c_params = optax.apply_updates(c_state["params"], upd_c)
-            acc = (logit_x.argmax(1) == label_x).mean()
+            acc = (logit_x.argmax(1) == label_x).mean() * 100.0  # percent (reference compute_accuracy)
             return (
                 {"params": params, "batch_stats": bs, "opt_state": opt},
                 {"params": c_params, "batch_stats": c_bs, "opt_state": opt_c},
@@ -530,7 +530,7 @@ class MME(TrainerXU):
             updC, optC = txC.update(gC, optC, pC)
             pC = optax.apply_updates(pC, updC)
 
-            acc = (logit_x.argmax(1) == label_x).mean()
+            acc = (logit_x.argmax(1) == label_x).mean() * 100.0  # percent (reference compute_accuracy)
             return (
                 {"params": pF, "batch_stats": bsF, "opt_state": optF},
                 {"params": pC, "batch_stats": sC["batch_stats"],
@@ -625,7 +625,7 @@ class SE(TrainerXU):
                 "params": F.ema_update(teacher["params"], params, ema_alpha),
                 "batch_stats": t_bs,
             }
-            acc = (logit_x.argmax(1) == label_x).mean()
+            acc = (logit_x.argmax(1) == label_x).mean() * 100.0  # percent (reference compute_accuracy)
             return (
                 {"params": params, "batch_stats": bs, "opt_state": opt},
                 new_teacher,
@@ -1028,7 +1028,7 @@ class DAEL(TrainerXU):
                     expert_label = jax.lax.stop_gradient(pred_i)
                     acc_x += (
                         pred_i.argmax(1) == labels[g].argmax(1)
-                    ).mean()
+                    ).mean() * 100.0  # percent (reference compute_accuracy)
                     # consistency: mean of the OTHER domains' experts on
                     # the strong view (h == g skipped outright)
                     cr = jnp.zeros_like(pred_i)
@@ -1263,7 +1263,7 @@ class CDAC(TrainerXU):
             updC, optC = txC.update(gC, optC, pC)
             pC = optax.apply_updates(pC, updC)
 
-            acc = (logit_x.argmax(1) == label_x).mean()
+            acc = (logit_x.argmax(1) == label_x).mean() * 100.0  # percent (reference compute_accuracy)
             return (
                 {"params": pF, "batch_stats": bsF2, "opt_state": optF},
                 {"params": pC, "batch_stats": sC["batch_stats"],

@@ -391,7 +391,7 @@ class DasslTrainer(TrainerBase):
                 grads, state["opt_state"], state["params"]
             )
             params = optax.apply_updates(state["params"], updates)
-            acc = (out.argmax(1) == label).mean()
+            acc = (out.argmax(1) == label).mean() * 100.0  # percent (reference compute_accuracy)
             new_state = {
                 "params": params, "batch_stats": bs, "opt_state": opt_state
             }

@@ -413,7 +413,7 @@ class DAELDG(TrainerX):
                         -labels[g] * jnp.log(pred_i + 1e-5)
                     ).sum(1).mean()
                     expert_label = jax.lax.stop_gradient(pred_i)
-                    acc += (pred_i.argmax(1) == labels[g].argmax(1)).mean()
+                    acc += (pred_i.argmax(1) == labels[g].argmax(1)).mean() * 100.0  # percent (reference compute_accuracy)
                     # consistency: mean of the OTHER domains' experts on
                     # the strong view (h == g skipped outright)
                     cr = jnp.zeros_like(pred_i)
@@ -513,7 +513,7 @@ class DomainMix(TrainerX):
             )(state["params"])
             upd, opt = tx.update(grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], upd)
-            acc = (out.argmax(1) == label_a).mean()
+            acc = (out.argmax(1) == label_a).mean() * 100.0  # percent (reference compute_accuracy)
             return (
                 {"params": params, "batch_stats": bs, "opt_state": opt},
                 {"loss": loss, "acc": acc},

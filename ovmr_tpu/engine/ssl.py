@@ -67,7 +67,7 @@ class EntMin(TrainerXU):
                 grads, state["opt_state"], state["params"]
             )
             params = optax.apply_updates(state["params"], updates)
-            acc = (out_x.argmax(1) == label_x).mean()
+            acc = (out_x.argmax(1) == label_x).mean() * 100.0  # percent (reference compute_accuracy)
             return (
                 {"params": params, "batch_stats": bs, "opt_state": opt_state},
                 {"loss_x": loss_x, "acc_x": acc, "loss_u": loss_u},
@@ -140,7 +140,7 @@ class MeanTeacher(TrainerXU):
                 "params": F.ema_update(teacher["params"], params, ema_alpha),
                 "batch_stats": t_bs,
             }
-            acc = (logit_x.argmax(1) == label_x).mean()
+            acc = (logit_x.argmax(1) == label_x).mean() * 100.0  # percent (reference compute_accuracy)
             return (
                 {"params": params, "batch_stats": bs, "opt_state": opt_state},
                 new_teacher,
@@ -377,7 +377,7 @@ class FixMatch(TrainerXU):
                 grads, state["opt_state"], state["params"]
             )
             params = optax.apply_updates(state["params"], updates)
-            acc = (out_x.argmax(1) == label_x).mean()
+            acc = (out_x.argmax(1) == label_x).mean() * 100.0  # percent (reference compute_accuracy)
             return (
                 {"params": params, "batch_stats": bs, "opt_state": opt_state},
                 {
