@@ -65,7 +65,6 @@ class _SplitReplay:
         return v
 
 
-@pytest.mark.quick
 def test_mm_fullloop_matches_reference_stack(tmp_path, monkeypatch):
     import torch
 
