@@ -208,23 +208,33 @@ class CoOp(TrainerBase):
                 fs = [mm_f, v_f, t_f]
                 if big:
                     f = fs[prompt_ind]
-                    return ce(scale * feats @ f.astype(jnp.float32).T, labels).mean()
+                    logits = scale * feats @ f.astype(jnp.float32).T
+                    return ce(logits, labels).mean(), logits
                 total = 0.0
+                acc_logits = None
                 for f in fs:
-                    total = total + ce(
-                        scale * feats @ f.astype(jnp.float32).T, labels
-                    ).mean()
-                return total
+                    logits = scale * feats @ f.astype(jnp.float32).T
+                    if acc_logits is None:
+                        acc_logits = logits  # mm: the reference's acc basis
+                    total = total + ce(logits, labels).mean()
+                return total, acc_logits
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            # percent, over the logits the reference feeds compute_accuracy
+            # (mm logits, or the chosen prompt's in the >400-class regime —
+            # coop_…:427-430)
+            acc = (logits.argmax(1) == labels).mean() * 100.0
             if axis is not None:
                 # image batch shards over 'data' (the reference wraps this
                 # trainer in nn.DataParallel, coop_…:402-405); text features
                 # replicate, so only loss/grads need the mean
                 loss = jax.lax.pmean(loss, axis)
+                acc = jax.lax.pmean(acc, axis)
                 grads = jax.lax.pmean(grads, axis)
             updates, new_state = optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_state, loss
+            return optax.apply_updates(params, updates), new_state, loss, acc
 
         step = partial(jax.jit, static_argnames=("prompt_ind",))(local_step)
 
@@ -263,7 +273,7 @@ class CoOp(TrainerBase):
                             axis="data", block_fn=smap_block),
                     mesh=self.mesh,
                     in_specs=(P(), P(), clip_in, P("data"), P("data")),
-                    out_specs=(P(), P(), P()),
+                    out_specs=(P(), P(), P(), P()),
                     check_vma=False,
                 )
                 return fn(params, opt_state, clip_params, images, labels)
@@ -309,11 +319,14 @@ class CoOp(TrainerBase):
             )
             if self._tp != "gspmd":
                 step = self._step_sharded
-            self.params, self.opt_state, loss = step(
+            self.params, self.opt_state, loss, acc = step(
                 self.params, self.opt_state, self.clip_params, images,
                 labels, prompt_ind,
             )
-            return {"loss": float(loss), "lr": self.lr_table[self.epoch]}
+            return {
+                "loss": float(loss), "acc": float(acc),
+                "lr": self.lr_table[self.epoch],
+            }
         images = jnp.asarray(batch["img"], self.dtype)
         labels = jnp.asarray(batch["label"].astype(np.int32))
         if self.mesh is not None:
@@ -338,11 +351,14 @@ class CoOp(TrainerBase):
                     f"by the data axis ({data_size}) runs replicated over "
                     "'data'; choose BATCH_SIZE divisible by the mesh"
                 )
-        self.params, self.opt_state, loss = step(
+        self.params, self.opt_state, loss, acc = step(
             self.params, self.opt_state, self.clip_params, images, labels,
             prompt_ind,
         )
-        return {"loss": float(loss), "lr": self.lr_table[self.epoch]}
+        return {
+            "loss": float(loss), "acc": float(acc),
+            "lr": self.lr_table[self.epoch],
+        }
 
     def save_model(self, epoch, model_name=""):
         ckpt.save_checkpoint(

@@ -268,7 +268,7 @@ def test_coop_stage2_trajectory_matches_reference_trainer(
                 ref_lrs[step], rel=1e-12
             )
             i = step % 2
-            params, opt_state, loss = trainer._step(
+            params, opt_state, loss, _acc = trainer._step(
                 params,
                 opt_state,
                 trainer.clip_params,
